@@ -1,0 +1,395 @@
+"""Driver-contract query registry.
+
+Each query is a callable ``(spark, sf_dir) -> DataFrame``; SQL-expressible
+ones have a DuckDB oracle in ``ORACLE_SQL`` (same column names/aliases, same
+rounding) run by the driver at sf=0.01.  Non-SQL-expressible stages
+(MinHash/SimHash/LSH/suffix-array/CC — the distributed-hash machinery) are
+registered without oracles → rows-only driver check, with full semantic
+verification living in tests/ against the pure-Python oracle.
+
+The ``pages`` relation used by dedup queries derives deterministically from
+the driver's ``documents`` table (sources/pages.py:pages_from_documents) and
+is mirrored verbatim by the SQL CTE, so Spark and DuckDB see identical rows.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from camden_spark.config import DedupConfig
+from camden_spark.functions.shingles import with_signatures
+from camden_spark.functions.text import lang_id_udf, with_text_stats
+from camden_spark.operators.ann import (
+    ann_near_dup_pairs,
+    brute_force_topk,
+    cosine_col,
+)
+from camden_spark.operators.exact import (
+    dedup_stats,
+    duplicate_groups,
+    exact_dedup_clusters,
+)
+from camden_spark.operators.lsh import candidate_pairs_lsh, verify_pairs_jaccard
+from camden_spark.operators.simhash import candidate_pairs_simhash
+from camden_spark.operators.substr import (
+    candidate_pairs_substr,
+    verify_pairs_substr,
+    with_fingerprints,
+)
+from camden_spark.plans.pipeline import DedupPipeline
+from camden_spark.sources.pages import normalize_pages, pages_from_documents
+
+CFG = DedupConfig()
+
+_PAGES_CTE = """WITH pages AS (
+  SELECT
+    'https://' || source || '.example/' || lang || '/doc' || CAST(doc_id AS VARCHAR) AS url,
+    TIMESTAMP '2025-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+    text,
+    lang
+  FROM documents
+)"""
+
+# regex classes shared with functions/text.py (Java regex and RE2 agree)
+_PUNCT_SQL = r"""'[.,!?;:''"()\[\]{}<>/@#$%^&*_+=~`|\\-]'"""
+_DIGIT_SQL = "'[0-9]'"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible queries (with DuckDB oracles)
+# --------------------------------------------------------------------------
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+D1+E1/E2: checksum, cluster size, deterministic first-wins rank."""
+    pages = pages_from_documents(spark, sf_dir)
+    return exact_dedup_clusters(pages, CFG).select(
+        "url", "checksum", "cluster_size", "rn", "is_canonical"
+    )
+
+
+SQL_EXACT_DUP_CLUSTERS = f"""{_PAGES_CTE}
+SELECT url,
+       sha256(text) AS checksum,
+       COUNT(*) OVER (PARTITION BY sha256(text)) AS cluster_size,
+       ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY url, warc_ts) AS rn,
+       ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY url, warc_ts) = 1 AS is_canonical
+FROM pages
+"""
+
+
+def q_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: HAVING count>1 post-aggregation filter (reporting.rs:33)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return duplicate_groups(exact_dedup_clusters(pages, CFG))
+
+
+SQL_DUPLICATE_GROUPS = f"""{_PAGES_CTE}
+SELECT checksum, cluster_size, url, rn FROM (
+  SELECT url,
+         sha256(text) AS checksum,
+         COUNT(*) OVER (PARTITION BY sha256(text)) AS cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY url, warc_ts) AS rn
+  FROM pages
+) WHERE cluster_size > 1
+"""
+
+
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4: total docs, groups, dup groups, Σ(len-1) duplicates."""
+    pages = pages_from_documents(spark, sf_dir)
+    return dedup_stats(exact_dedup_clusters(pages, CFG))
+
+
+SQL_DEDUP_STATS = f"""{_PAGES_CTE},
+g AS (SELECT sha256(text) AS cs, COUNT(*) AS n FROM pages GROUP BY 1)
+SELECT CAST(SUM(n) AS BIGINT) AS total_docs,
+       COUNT(*) AS total_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(SUM(n - 1) AS BIGINT) AS total_duplicates
+FROM g
+"""
+
+
+def q_canonical_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 analog: canonical (kept) rows after the partitioned rewrite."""
+    pages = pages_from_documents(spark, sf_dir)
+    clusters = exact_dedup_clusters(pages, CFG)
+    keep = clusters.filter(F.col("is_canonical")).select("url")
+    return pages.join(keep, "url", "left_semi").select("url", "lang")
+
+
+SQL_CANONICAL_PAGES = f"""{_PAGES_CTE}
+SELECT url, lang FROM (
+  SELECT url, lang,
+         ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY url, warc_ts) AS rn
+  FROM pages
+) WHERE rn = 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics — all JVM builtins, exact double parity."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return with_text_stats(docs).select(
+        "doc_id",
+        F.col("n_chars").alias("len_chars"),
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "avg_token_len",
+        "quality_score",
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS len_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE
+           / length(text) AS punct,
+         (length(text) - length(regexp_replace(text, {_DIGIT_SQL}, '', 'g')))::DOUBLE
+           / length(text) AS digit
+  FROM documents
+)
+SELECT doc_id,
+       len_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(punct, 6) AS punct_ratio,
+       round(digit, 6) AS digit_ratio,
+       round(CASE WHEN n_tokens > 0 THEN len_chars::DOUBLE / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+       round(
+         least(n_tokens::DOUBLE / 100.0, 1.0)
+         * (1.0 - least(punct * 4, 1.0))
+         * (1.0 - least(digit * 4, 1.0))
+         * (CASE WHEN (CASE WHEN n_tokens > 0 THEN len_chars::DOUBLE / n_tokens ELSE 0.0 END) >= 3.0
+                  AND (CASE WHEN n_tokens > 0 THEN len_chars::DOUBLE / n_tokens ELSE 0.0 END) <= 12.0
+                 THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+FROM s
+"""
+
+
+def q_lang_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation demo over pages: per-lang doc counts + char totals."""
+    docs = _documents(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+SQL_LANG_BREAKDOWN = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       round(AVG(length(text)), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic agg operator coverage over the events table."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+SQL_EVENTS_AGG = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 4) AS total_value,
+       round(MIN(value), 6) AS min_value,
+       round(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
+    vecs = _embeddings(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return brute_force_topk(vecs, queries, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id,
+         v.vec_id AS vec_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(v.embedding AS DOUBLE[])), 6) AS cosine_sim
+  FROM embeddings q, embeddings v
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine_sim, rnk AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (bounded id range, cosine≥0.4)."""
+    vecs = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine_sim", F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= 0.4)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible queries (rows-only driver check; semantics verified in
+# tests/ against the pure-Python oracle)
+# --------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    sig = with_signatures(pages, CFG)
+    return sig.select(
+        "url",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        "minhash",
+        "simhash",
+    )
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    sig = with_signatures(pages, CFG).select("url", "shingles", "minhash")
+    cand, _ = candidate_pairs_lsh(sig, CFG)
+    return verify_pairs_jaccard(cand, sig, CFG)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    sig = with_signatures(pages, CFG).select("url", "simhash")
+    pairs, _ = candidate_pairs_simhash(sig, CFG)
+    return pairs
+
+
+def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    fp = with_fingerprints(pages, CFG)
+    cand, _ = candidate_pairs_substr(fp, CFG)
+    return verify_pairs_substr(cand, pages, CFG)
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full exact+near pipeline with CC cluster assignment."""
+    pages = pages_from_documents(spark, sf_dir)
+    return DedupPipeline(cfg=CFG).run(pages).clusters
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", "lang", lang_id_udf()(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.xxhash64("text").alias("fingerprint")
+    )
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-bucketed near-dup scale path (approximate — rows-only)."""
+    vecs = _embeddings(spark, sf_dir)
+    return ann_near_dup_pairs(vecs, dim=64, threshold=0.4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize media payloads from documents, run the
+    Arrow-batched feature extractor (deterministic fake decode)."""
+    from camden_spark.multimodal import extract_media_features
+
+    docs = _documents(spark, sf_dir).limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_media_features(media, fake=True)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # SQL-expressible (oracle-checked)
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "duplicate_groups": q_duplicate_groups,
+    "dedup_stats": q_dedup_stats,
+    "canonical_pages": q_canonical_pages,
+    "text_stats": q_text_stats,
+    "lang_breakdown": q_lang_breakdown,
+    "events_agg": q_events_agg,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    # rows-only (non-SQL-expressible distributed hashing / UDF stages)
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "substr_pairs": q_substr_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "media_features": q_media_features,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
+    "duplicate_groups": SQL_DUPLICATE_GROUPS,
+    "dedup_stats": SQL_DEDUP_STATS,
+    "canonical_pages": SQL_CANONICAL_PAGES,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_breakdown": SQL_LANG_BREAKDOWN,
+    "events_agg": SQL_EVENTS_AGG,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+}

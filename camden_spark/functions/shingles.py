@@ -1,0 +1,95 @@
+"""Spark-side signature columns: shingles, MinHash, SimHash.
+
+One vectorized pandas UDF (Arrow batches, reference pattern mandated by the
+north rule — no per-row Python) computes all three signatures in a single pass
+over each batch so tokenization/shingling cost is paid once.  Everything else
+downstream (banding, joins, verification) is JVM-side builtins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from camden_spark.config import DedupConfig
+from camden_spark.functions.hashing import (
+    minhash_signatures_np,
+    shingle_hashes_np,
+    simhash_np,
+)
+
+_SIG_SCHEMA = StructType(
+    [
+        StructField("shingles", ArrayType(LongType()), False),
+        StructField("minhash", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+    ]
+)
+
+
+def _signature_batches(
+    cfg: DedupConfig,
+) -> "F.pandas_udf":
+    k, perms, seed = cfg.shingle_k, cfg.minhash_perms, cfg.minhash_seed
+
+    @F.pandas_udf(_SIG_SCHEMA)
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            sh = shingle_hashes_np(texts, k)
+            mh = minhash_signatures_np(sh, perms, seed).view(np.int64)
+            sim = simhash_np(sh).view(np.int64)
+            yield pd.DataFrame(
+                {
+                    "shingles": [s.view(np.int64) for s in sh],
+                    "minhash": list(mh),
+                    "simhash": sim,
+                }
+            )
+
+    return sig_udf
+
+
+def with_signatures(
+    pages: DataFrame, cfg: DedupConfig | None = None, text_col: str = "norm_text"
+) -> DataFrame:
+    """Add ``shingles`` (distinct shingle hashes, array<long>), ``minhash``
+    (array<long>, len = cfg.minhash_perms) and ``simhash`` (long) columns."""
+    cfg = cfg or DedupConfig()
+    udf = _signature_batches(cfg)
+    return pages.withColumn("_sig", udf(F.col(text_col))).select(
+        "*",
+        F.col("_sig.shingles").alias("shingles"),
+        F.col("_sig.minhash").alias("minhash"),
+        F.col("_sig.simhash").alias("simhash"),
+    ).drop("_sig")
+
+
+def jaccard_on_shingles(left: str = "shingles_a", right: str = "shingles_b"):
+    """Exact Jaccard of two distinct-shingle-hash arrays — pure JVM builtins
+    (array_intersect/array_union), no UDF.  Used to verify candidate pairs."""
+    inter = F.size(F.array_intersect(F.col(left), F.col(right)))
+    union = F.size(F.array_union(F.col(left), F.col(right)))
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(1.0)
+    )
+
+
+def minhash_estimate(left: str = "minhash_a", right: str = "minhash_b"):
+    """Estimated Jaccard = fraction of matching signature slots (JVM-side
+    zip_with + aggregate — no UDF)."""
+    matches = F.aggregate(
+        F.zip_with(F.col(left), F.col(right), lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return matches.cast("double") / F.size(F.col(left)).cast("double")

@@ -1,0 +1,114 @@
+"""Text-analysis columns for training-data pipelines.
+
+All JVM-side builtins where possible (token count, quality ratios — these stay
+inside whole-stage codegen and have exact DuckDB oracle equivalents); language
+ID is a vectorized pandas UDF (stopword-profile scoring, deterministic);
+document fingerprint is a single builtin xxhash64.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StringType
+
+#: tiny deterministic stopword profiles (public common-word lists)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "para"),
+    "fr": ("le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"),
+}
+
+#: punctuation class shared verbatim with the DuckDB oracle (explicit set —
+#: Java regex and RE2 agree on it, unlike [[:punct:]])
+PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
+DIGIT_CLASS = r"[0-9]"
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count — builtin split, exact oracle parity."""
+    trimmed = F.trim(F.col(col))
+    return (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+
+
+def _ratio(match_class: str, col: str) -> Column:
+    text = F.col(col)
+    n = F.length(text)
+    stripped = F.length(F.regexp_replace(text, match_class, ""))
+    return F.when(n > 0, (n - stripped).cast("double") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """Adds n_chars, n_tokens, punct_ratio, digit_ratio, avg_token_len,
+    quality_score — all codegen'd builtins, deterministic double arithmetic
+    (mirrored exactly in the oracle SQL)."""
+    n_chars = F.length(F.col(col)).cast("long")
+    n_tokens = token_count(col)
+    punct = _ratio(PUNCT_CLASS, col)
+    digit = _ratio(DIGIT_CLASS, col)
+    avg_tok = F.when(
+        n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    # simple monotone quality heuristic: long docs with modest punctuation,
+    # few digits, and plausible word lengths score high
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(punct * 4, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(digit * 4, F.lit(1.0)))
+        * F.when((avg_tok >= 3.0) & (avg_tok <= 12.0), F.lit(1.0)).otherwise(
+            F.lit(0.5)
+        )
+    )
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("punct_ratio", F.round(punct, 6))
+        .withColumn("digit_ratio", F.round(digit, 6))
+        .withColumn("avg_token_len", F.round(avg_tok, 6))
+        .withColumn("quality_score", F.round(quality, 6))
+    )
+
+
+def lang_id_udf() -> "F.pandas_udf":
+    """Vectorized stopword-profile language classifier → 2-letter code or
+    'und'.  Deterministic; ties broken by language-code order."""
+    langs = sorted(STOPWORDS)
+    profiles = {lg: frozenset(STOPWORDS[lg]) for lg in langs}
+
+    @F.pandas_udf(StringType())
+    def lid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if not isinstance(t, str) or not t.strip():
+                    out.append("und")
+                    continue
+                toks = t.lower().split()
+                # zh has no spaces: also scan characters
+                counts = {
+                    lg: sum(1 for tok in toks if tok in profiles[lg])
+                    for lg in langs
+                }
+                counts["zh"] += sum(1 for ch in t if ch in profiles["zh"])
+                best = max(langs, key=lambda lg: (counts[lg], lg))
+                out.append(best if counts[best] > 0 else "und")
+            yield pd.Series(out, dtype="object")
+
+    return lid
+
+
+def doc_fingerprint(col: str = "text") -> Column:
+    """64-bit whole-document fingerprint — builtin xxhash64 (seed 42)."""
+    return F.xxhash64(F.col(col)).alias("fingerprint")

@@ -1,0 +1,173 @@
+"""End-to-end dedup pipeline (SURVEY §3.4 target lifecycle).
+
+Stage graph (each stage optionally snapshot-checkpointed, F9):
+
+  pages ─ normalize ─┬─ exact:    checksum → window cluster          [stage 1]
+                     └─ sig:      shingles + MinHash + SimHash       [stage 2]
+                          ├─ lsh_pairs:     band join + Jaccard gate [stage 3]
+                          ├─ simhash_pairs: pigeonhole Hamming join  [stage 4]
+                          └─ substr_pairs:  winnow join + SA verify  [stage 5]
+  exact pairs ∪ near pairs → connected components → clusters         [stage 6]
+
+The exact stage feeds the near stages only through its canonical members:
+rows that are byte-identical to a canonical are excluded from shingling (F7,
+left_anti) — they inherit the canonical's cluster, so a 10^12-doc corpus with
+heavy exact duplication pays near-dup cost only on distinct texts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from camden_spark.config import DedupConfig
+from camden_spark.operators.components import assign_clusters
+from camden_spark.operators.exact import exact_dedup_clusters
+from camden_spark.operators.lsh import candidate_pairs_lsh, verify_pairs_jaccard
+from camden_spark.operators.simhash import candidate_pairs_simhash
+from camden_spark.operators.substr import (
+    candidate_pairs_substr,
+    verify_pairs_substr,
+    with_fingerprints,
+)
+from camden_spark.functions.shingles import with_signatures
+from camden_spark.plans.checkpoint import SnapshotStore
+from camden_spark.sources.pages import normalize_pages
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame          # (url, cluster_id, is_canonical)
+    pairs: DataFrame             # union of verified duplicate pairs + source
+    metrics: dict = field(default_factory=dict)
+
+
+@dataclass
+class DedupPipeline:
+    cfg: DedupConfig = field(default_factory=DedupConfig)
+    checkpoint_dir: str | None = None
+    #: toggles, mostly for tests / staged benchmarking
+    enable_lsh: bool = True
+    enable_simhash: bool = True
+    enable_substr: bool = True
+
+    def _store(self) -> SnapshotStore | None:
+        if self.checkpoint_dir is None:
+            return None
+        return SnapshotStore(self.checkpoint_dir, self.cfg.config_hash())
+
+    def run(self, pages: DataFrame) -> PipelineResult:
+        cfg = self.cfg
+        spark = pages.sparkSession
+        store = self._store()
+        metrics: dict = {}
+
+        def staged(name: str, build, upstream: list[str]) -> DataFrame:
+            if store is not None:
+                df = store.stage(spark, name, build, upstream=upstream)
+                metrics[f"stage.{name}.rows"] = store.lineage[name]["rows"]
+                return df
+            return build()
+
+        norm = normalize_pages(pages, cfg.lowercase, cfg.collapse_whitespace)
+
+        # ---- stage 1: exact (camden semantics) -------------------------
+        exact = staged(
+            "exact",
+            lambda: exact_dedup_clusters(norm, cfg),
+            upstream=[],
+        ).cache()
+
+        # exact-dup pairs: every non-canonical pairs with its canonical
+        canon = exact.filter(F.col("rn") == 1).select(
+            F.col("checksum"), F.col("url").alias("canon_url")
+        )
+        exact_pairs = (
+            exact.filter(F.col("rn") > 1)
+            .select("checksum", "url")
+            .join(canon, "checksum")
+            .select(
+                F.least("canon_url", "url").alias("url_a"),
+                F.greatest("canon_url", "url").alias("url_b"),
+                F.lit("exact").alias("source"),
+            )
+        )
+
+        # near stages run on distinct texts only (canonicals + singletons)
+        distinct_pages = norm.join(
+            exact.filter(F.col("is_canonical")).select("url"), "url", "left_semi"
+        )
+
+        pair_frames = [exact_pairs]
+
+        needs_sig = self.enable_lsh or self.enable_simhash
+        if needs_sig:
+            sig = staged(
+                "signatures",
+                lambda: with_signatures(distinct_pages, cfg).select(
+                    "url", "shingles", "minhash", "simhash"
+                ),
+                upstream=["exact"],
+            ).cache()
+
+        if self.enable_lsh:
+            def build_lsh() -> DataFrame:
+                cand, m = candidate_pairs_lsh(sig, cfg)
+                metrics["lsh"] = m.first().asDict()
+                return verify_pairs_jaccard(cand, sig, cfg)
+
+            lsh_pairs = staged("lsh_pairs", build_lsh, upstream=["signatures"])
+            pair_frames.append(
+                lsh_pairs.select(
+                    "url_a", "url_b", F.lit("minhash_lsh").alias("source")
+                )
+            )
+
+        if self.enable_simhash:
+            def build_simhash() -> DataFrame:
+                pairs, m = candidate_pairs_simhash(sig, cfg)
+                metrics["simhash"] = m.first().asDict()
+                return pairs
+            sim_pairs = staged(
+                "simhash_pairs", build_simhash, upstream=["signatures"]
+            )
+            pair_frames.append(
+                sim_pairs.select(
+                    "url_a", "url_b", F.lit("simhash").alias("source")
+                )
+            )
+
+        if self.enable_substr:
+            def build_substr() -> DataFrame:
+                fp = with_fingerprints(distinct_pages, cfg)
+                cand, m = candidate_pairs_substr(fp, cfg)
+                metrics["substr"] = m.first().asDict()
+                return verify_pairs_substr(cand, distinct_pages, cfg)
+            sub_pairs = staged(
+                "substr_pairs", build_substr, upstream=["exact"]
+            )
+            pair_frames.append(
+                sub_pairs.select(
+                    "url_a", "url_b", F.lit("substr").alias("source")
+                )
+            )
+
+        # ---- union (F8) + connected components (F6) --------------------
+        all_pairs = pair_frames[0]
+        for pf in pair_frames[1:]:
+            all_pairs = all_pairs.unionByName(pf)
+        all_pairs = all_pairs.dropDuplicates(["url_a", "url_b"])
+
+        def build_clusters() -> DataFrame:
+            return assign_clusters(
+                norm.select("url"), all_pairs.select("url_a", "url_b"), cfg
+            )
+
+        clusters = staged(
+            "clusters",
+            build_clusters,
+            upstream=["exact", "lsh_pairs", "simhash_pairs", "substr_pairs"],
+        )
+        return PipelineResult(clusters=clusters, pairs=all_pairs, metrics=metrics)

@@ -1,0 +1,53 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Replaces the reference's ThreadingMode knob (reference src/cli.rs:14-18) with
+Spark parallelism config.  Defaults are tuned for the sandbox (single-JVM
+local[N]); on a real cluster the same code runs under spark-submit with
+executor-level parallelism — nothing here is local-mode-specific except the
+master URL, which is injectable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "camden_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` defaults to $SPARK_GRAFT_CPUS (driver contract) or 32.
+    Key scale settings:
+
+    * AQE on (runtime shuffle-partition coalescing + skew-join splitting —
+      the automatic half of our band-skew story; the explicit half is
+      mega-band capping in operators/lsh.py)
+    * Arrow enabled with bounded batch size so pandas-UDF batches over long
+      documents have bounded memory
+    * UTC session timezone so timestamp semantics match the DuckDB oracle
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 16)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

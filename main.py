@@ -1,0 +1,92 @@
+"""spark-submit entry point.
+
+Usage (cluster)::
+
+    zip -r camden_spark.zip camden_spark
+    spark-submit --py-files camden_spark.zip main.py \
+        --input /path/to/pages --output /path/to/out \
+        --checkpoint-dir /path/to/ckpt
+
+Sandbox (two parallelism levels for the scaling run)::
+
+    SPARK_GRAFT_CPUS=8  python main.py --input ... --output ...
+    SPARK_GRAFT_CPUS=32 python main.py --input ... --output ...
+
+Mirrors the reference CLI (reference src/cli.rs:27-96: root, target,
+--no-thread, extension list) as: --input (root), --output (target),
+--cores (threading mode), config flags (the allow-list analog is the
+normalization/threshold config).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def parse_args(argv: list[str]) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="camden_spark dedup pipeline")
+    p.add_argument("--input", required=True, help="pages table (dir or iceberg:ident)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--jaccard-threshold", type=float, default=0.80)
+    p.add_argument("--no-lsh", action="store_true")
+    p.add_argument("--no-simhash", action="store_true")
+    p.add_argument("--no-substr", action="store_true")
+    p.add_argument("--write-split", action="store_true",
+                   help="also write canonical/duplicates tables (A6 analog)")
+    return p.parse_args(argv)
+
+
+def run(argv: list[str]) -> dict:
+    args = parse_args(argv)
+    from camden_spark.config import DedupConfig
+    from camden_spark.plans.pipeline import DedupPipeline
+    from camden_spark.session import get_spark
+    from camden_spark.sources.pages import load_pages
+    from camden_spark.sources.sinks import (
+        print_duplicate_report,
+        write_clusters_json,
+        write_dedup_split,
+    )
+
+    spark = get_spark("camden_spark_main", cores=args.cores)
+    cfg = DedupConfig(jaccard_threshold=args.jaccard_threshold)
+    pages = load_pages(spark, args.input)
+    t0 = time.time()
+    n_docs = pages.count()
+    pipeline = DedupPipeline(
+        cfg=cfg,
+        checkpoint_dir=args.checkpoint_dir,
+        enable_lsh=not args.no_lsh,
+        enable_simhash=not args.no_simhash,
+        enable_substr=not args.no_substr,
+    )
+    result = pipeline.run(pages)
+    clusters = result.clusters
+    clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    write_clusters_json(clusters, f"{args.output}/clusters_json")
+    if args.write_split:
+        stats = write_dedup_split(pages, clusters, args.output)
+    else:
+        stats = {}
+    elapsed = time.time() - t0
+    print_duplicate_report(clusters)
+    summary = {
+        "docs": n_docs,
+        "elapsed_sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+        "metrics": {k: v for k, v in result.metrics.items()},
+        **stats,
+    }
+    with open(f"{args.output}/summary.json", "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    print(json.dumps(summary, default=str))
+    return summary
+
+
+if __name__ == "__main__":
+    run(sys.argv[1:])

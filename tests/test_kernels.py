@@ -1,0 +1,121 @@
+"""Pure-numpy kernel tests — no Spark needed."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from camden_spark.functions.hashing import (
+    hamming64_np,
+    minhash_signatures_np,
+    shingle_hashes_np,
+    simhash_np,
+)
+from camden_spark.functions.substr import (
+    longest_common_substring,
+    rolling_hashes,
+    winnow_fingerprints,
+)
+from camden_spark import oracle
+
+
+def test_shingles_deterministic_and_distinct():
+    texts = pd.Series(["a b c d e f g", "a b c d e f g", "x y z"])
+    s1 = shingle_hashes_np(texts, 5)
+    s2 = shingle_hashes_np(texts, 5)
+    assert all(np.array_equal(a, b) for a, b in zip(s1, s2))
+    assert np.array_equal(s1[0], s1[1])
+    assert len(np.intersect1d(s1[0], s1[2])) == 0
+    # 7 tokens, k=5 → 3 shingles
+    assert len(s1[0]) == 3
+
+
+def test_shingles_short_and_empty():
+    s = shingle_hashes_np(pd.Series(["a b", "", None]), 5)
+    assert len(s[0]) == 1  # shorter than k → single shingle
+    assert len(s[1]) == 0
+    assert len(s[2]) == 0
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [vocab[i] for i in rng.randint(0, 500, 300)]
+    edited = list(base)
+    for p in rng.choice(300, 6, replace=False):
+        edited[p] = vocab[rng.randint(0, 500)]
+    texts = pd.Series([" ".join(base), " ".join(edited)])
+    sh = shingle_hashes_np(texts, 5)
+    true_j = oracle.jaccard(set(sh[0].tolist()), set(sh[1].tolist()))
+    sig = minhash_signatures_np(sh, 256, 42)
+    est = float((sig[0] == sig[1]).mean())
+    assert abs(est - true_j) < 0.12
+    # identical → identical signatures
+    sig2 = minhash_signatures_np([sh[0], sh[0]], 256, 42)
+    assert np.array_equal(sig2[0], sig2[1])
+
+
+def test_minhash_int64_safe():
+    sh = shingle_hashes_np(pd.Series(["a b c d e f g h i j"]), 5)
+    sig = minhash_signatures_np(sh, 64, 42)
+    assert sig.max() < np.uint64(1 << 63)
+
+
+def test_simhash_near_for_perturbed_text():
+    rng = np.random.RandomState(1)
+    vocab = [f"w{i}" for i in range(500)]
+    base = " ".join(vocab[i] for i in rng.randint(0, 500, 400))
+    toks = base.split()
+    toks[5] = "zzz"
+    near = " ".join(toks)
+    far = " ".join(vocab[i] for i in rng.randint(0, 500, 400))
+    sh = shingle_hashes_np(pd.Series([base, near, far]), 5)
+    sims = simhash_np(sh)
+    d_near = hamming64_np(sims[0:1], sims[1:2])[0]
+    d_far = hamming64_np(sims[0:1], sims[2:3])[0]
+    assert d_near < d_far
+    assert hamming64_np(sims[0:1], sims[0:1])[0] == 0
+
+
+def test_rolling_hash_window_equality():
+    h = rolling_hashes(b"abcabcabc", 3)
+    assert h[0] == h[3] == h[6]
+    assert h[0] != h[1]
+    assert len(h) == 7
+
+
+def test_winnowing_guarantee():
+    a = "x" * 0 + "the shared span of text that is long enough to matter " * 4
+    fa = winnow_fingerprints("PREFIX " + a + " SUF1", 20, 15)
+    fb = winnow_fingerprints("OTHER " + a + " SUF2", 20, 15)
+    assert len(np.intersect1d(fa, fb)) > 0
+    fc = winnow_fingerprints("completely different content with no overlap at all", 20, 15)
+    assert len(np.intersect1d(fa, fc)) == 0
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("abcdef", "abcdef", 6),
+        ("abcdef", "xyzuvw", 0),
+        ("", "abc", 0),
+        ("hello world foo", "say hello world bar", len("hello world ")),
+    ],
+)
+def test_lcs_suffix_array(a, b, expected):
+    assert longest_common_substring(a, b) == expected
+
+
+def test_lcs_matches_difflib_fuzz():
+    from difflib import SequenceMatcher
+
+    rng = np.random.RandomState(7)
+    alpha = "abcd "
+    for _ in range(20):
+        a = "".join(alpha[i] for i in rng.randint(0, len(alpha), 80))
+        b = "".join(alpha[i] for i in rng.randint(0, len(alpha), 80))
+        m = SequenceMatcher(None, a, b, autojunk=False).find_longest_match(
+            0, len(a), 0, len(b)
+        )
+        assert longest_common_substring(a, b) == m.size

@@ -1,0 +1,138 @@
+"""Near-dup stage tests: LSH, SimHash, substring, connected components,
+and full-pipeline recall ≥ 0.99 against planted ground truth."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from camden_spark.config import DedupConfig
+from camden_spark.functions.shingles import with_signatures
+from camden_spark.operators.components import assign_clusters, connected_components
+from camden_spark.operators.lsh import candidate_pairs_lsh, verify_pairs_jaccard
+from camden_spark.operators.simhash import candidate_pairs_simhash
+from camden_spark.operators.substr import (
+    candidate_pairs_substr,
+    verify_pairs_substr,
+    with_fingerprints,
+)
+from camden_spark.plans.pipeline import DedupPipeline
+from camden_spark.sources.pages import normalize_pages
+from camden_spark import oracle
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def sig_df(spark, pages_df):
+    norm = normalize_pages(pages_df)
+    sig = with_signatures(norm, CFG).select("url", "shingles", "minhash", "simhash")
+    sig.cache().count()
+    return sig
+
+
+def test_signatures_shape(sig_df):
+    row = sig_df.first()
+    assert len(row["minhash"]) == CFG.minhash_perms
+    assert isinstance(row["simhash"], int)
+    assert len(row["shingles"]) > 0
+
+
+def test_signatures_deterministic(spark, pages_df):
+    norm = normalize_pages(pages_df)
+    a = with_signatures(norm, CFG).select("url", "minhash").collect()
+    b = with_signatures(norm.repartition(7), CFG).select("url", "minhash").collect()
+    assert sorted((r["url"], tuple(r["minhash"])) for r in a) == sorted(
+        (r["url"], tuple(r["minhash"])) for r in b
+    )
+
+
+def test_lsh_finds_planted_near_dups(sig_df, corpus):
+    pairs, metrics = candidate_pairs_lsh(sig_df, CFG)
+    verified = verify_pairs_jaccard(pairs, sig_df, CFG)
+    found = {(r["url_a"], r["url_b"]) for r in verified.collect()}
+    docs = dict(zip(corpus.pages["url"], corpus.pages["text"]))
+    truth = oracle.jaccard_pairs(docs, CFG.shingle_k, CFG.jaccard_threshold)
+    # recall on true high-Jaccard pairs
+    assert truth, "corpus should contain high-Jaccard pairs"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall}"
+    # verification is exact → no false positives vs the same threshold
+    assert found <= truth | {p for p in found if p in truth} or all(
+        p in truth for p in found
+    )
+    m = metrics.first()
+    assert m["bands_total"] > 0
+
+
+def test_simhash_finds_char_perturbed_pairs(sig_df, corpus):
+    pairs, _ = candidate_pairs_simhash(sig_df, CFG)
+    found = {(r["url_a"], r["url_b"]) for r in pairs.collect()}
+    # verify Hamming property holds for all reported pairs
+    for r in pairs.collect():
+        assert r["hamming"] <= CFG.simhash_radius
+    assert isinstance(found, set)
+
+
+def test_substr_finds_containment_pairs(spark, pages_df, corpus):
+    norm = normalize_pages(pages_df)
+    fp = with_fingerprints(norm, CFG)
+    cand, _ = candidate_pairs_substr(fp, CFG)
+    verified = verify_pairs_substr(cand, norm, CFG)
+    found = {(r["url_a"], r["url_b"]) for r in verified.collect()}
+    docs = dict(zip(corpus.pages["url"], corpus.pages["text"]))
+    truth = oracle.substring_pairs(
+        docs, CFG.min_overlap_chars, CFG.min_overlap_frac
+    )
+    assert truth, "corpus should contain substring-overlap pairs"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"substr recall {recall}"
+    # verified overlaps must be genuine
+    for p in found:
+        assert p in truth
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["url_a", "url_b"]
+    )
+    comp = {r["url"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_assign_clusters_includes_singletons(spark):
+    urls = spark.createDataFrame([("a",), ("b",), ("z",)], ["url"])
+    edges = spark.createDataFrame([("a", "b")], ["url_a", "url_b"])
+    got = {r["url"]: (r["cluster_id"], r["is_canonical"])
+           for r in assign_clusters(urls, edges).collect()}
+    assert got == {"a": ("a", True), "b": ("a", False), "z": ("z", True)}
+
+
+def test_full_pipeline_recall(spark, pages_df, corpus):
+    result = DedupPipeline(cfg=CFG).run(pages_df)
+    rows = result.clusters.collect()
+    labels = {r["url"]: r["cluster_id"] for r in rows}
+    truth = corpus.true_pairs()
+    hit = sum(1 for a, b in truth if labels[a] == labels[b])
+    recall = hit / len(truth)
+    assert recall >= 0.99, f"pipeline dup-pair recall {recall}"
+    # boilerplate block must NOT merge into one giant cluster:
+    # rows outside ground truth should mostly be singletons
+    gt_urls = set(corpus.ground_truth["url"])
+    non_gt = [r for r in rows if r["url"] not in gt_urls]
+    clustered = [r for r in non_gt if r["cluster_id"] != r["url"]]
+    assert len(clustered) <= 0.05 * len(non_gt), (
+        f"{len(clustered)}/{len(non_gt)} non-dup rows got clustered"
+    )
+    # every url present exactly once
+    assert len(rows) == pages_df.count()
+
+
+def test_pipeline_parallelism_invariance(spark, pages_df):
+    """Same clusters at 1 vs 16 partitions (reference scanner.rs:135-143
+    generalization — the sandbox stand-in for N vs 4N executors)."""
+    r1 = DedupPipeline(cfg=CFG).run(pages_df.repartition(1))
+    r16 = DedupPipeline(cfg=CFG).run(pages_df.repartition(16))
+    c1 = sorted(map(tuple, r1.clusters.collect()))
+    c16 = sorted(map(tuple, r16.clusters.collect()))
+    assert c1 == c16
