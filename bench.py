@@ -38,9 +38,12 @@ def main() -> None:
     from camden_spark.session import get_spark
 
     spark = get_spark("camden_spark_bench", cores=cores)
-    # warm the JVM + python workers once (tiny query) so per-query times
-    # measure the plan, not session startup
+    # warm the JVM + python workers once so per-query times measure the
+    # plan, not session/worker startup
+    from camden_spark.session import warm_python_workers
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm_python_workers(spark)
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
     times: dict[str, float] = {}

@@ -75,9 +75,10 @@ class DedupConfig:
 
     # --- execution ------------------------------------------------------
     shuffle_partitions: int = 32
-    #: target partition count for band-key repartition before the LSH
-    #: self-join; at production scale set to O(cores * 3).
-    band_partitions: int = 32
+    #: target partition count for band/block/fingerprint-key repartitions
+    #: before the self-joins; 0 = auto (2x the session's defaultParallelism —
+    #: at production scale set explicitly to O(executors x cores x 3))
+    band_partitions: int = 0
     cc_max_iterations: int = 50     #: connected-components fixpoint cap
 
     def __post_init__(self) -> None:

@@ -192,7 +192,9 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     pages = corpus.pages.copy()
-    # Spark's parquet reader rejects TIMESTAMP(NANOS) — write microseconds
+    # Spark's parquet reader rejects TIMESTAMP(NANOS) — write microseconds.
+    # Small row groups keep the file SPLITTABLE: one giant row group would
+    # make the initial scan a single Spark task regardless of cluster size.
     pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
-    pages.to_parquet(f"{out_dir}/pages.parquet", index=False)
+    pages.to_parquet(f"{out_dir}/pages.parquet", index=False, row_group_size=2048)
     corpus.ground_truth.to_parquet(f"{out_dir}/ground_truth.parquet", index=False)

@@ -143,6 +143,24 @@ SELECT url, lang FROM (
 """
 
 
+def q_pages_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 analog: the extension allow-list predicate (reference
+    src/scanner.rs:71-79) as a lang allow-list + validity filter, pushed to
+    the scan by Catalyst."""
+    pages = pages_from_documents(spark, sf_dir)
+    return (
+        pages.filter(F.col("lang").isin("en", "de"))
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("url", "lang")
+    )
+
+
+SQL_PAGES_FILTERED = f"""{_PAGES_CTE}
+SELECT url, lang FROM pages
+WHERE lang IN ('en', 'de') AND text IS NOT NULL AND length(text) > 0
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality metrics — all JVM builtins, exact double parity."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
@@ -365,6 +383,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_groups": q_duplicate_groups,
     "dedup_stats": q_dedup_stats,
     "canonical_pages": q_canonical_pages,
+    "pages_filtered": q_pages_filtered,
     "text_stats": q_text_stats,
     "lang_breakdown": q_lang_breakdown,
     "events_agg": q_events_agg,
@@ -387,6 +406,7 @@ ORACLE_SQL: dict[str, str] = {
     "duplicate_groups": SQL_DUPLICATE_GROUPS,
     "dedup_stats": SQL_DEDUP_STATS,
     "canonical_pages": SQL_CANONICAL_PAGES,
+    "pages_filtered": SQL_PAGES_FILTERED,
     "text_stats": SQL_TEXT_STATS,
     "lang_breakdown": SQL_LANG_BREAKDOWN,
     "events_agg": SQL_EVENTS_AGG,

@@ -23,9 +23,9 @@ from pyspark.sql.types import (
 
 from camden_spark.config import DedupConfig
 from camden_spark.functions.hashing import (
-    minhash_signatures_np,
-    shingle_hashes_np,
-    simhash_np,
+    batch_shingle_hashes,
+    minhash_flat,
+    simhash_flat,
 )
 
 _SIG_SCHEMA = StructType(
@@ -45,15 +45,13 @@ def _signature_batches(
     @F.pandas_udf(_SIG_SCHEMA)
     def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in it:
-            sh = shingle_hashes_np(texts, k)
-            mh = minhash_signatures_np(sh, perms, seed).view(np.int64)
-            sim = simhash_np(sh).view(np.int64)
+            # one flat pass over the whole Arrow batch — no per-token Python
+            flat, counts = batch_shingle_hashes(texts, k)
+            mh = minhash_flat(flat, counts, perms, seed).view(np.int64)
+            sim = simhash_flat(flat, counts).view(np.int64)
+            per_doc = np.split(flat.view(np.int64), np.cumsum(counts)[:-1])
             yield pd.DataFrame(
-                {
-                    "shingles": [s.view(np.int64) for s in sh],
-                    "minhash": list(mh),
-                    "simhash": sim,
-                }
+                {"shingles": per_doc, "minhash": list(mh), "simhash": sim}
             )
 
     return sig_udf

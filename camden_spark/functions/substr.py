@@ -14,6 +14,9 @@ Pure numpy — called from pandas UDF / applyInPandas wrappers in
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
+
+from camden_spark.functions.hashing import pow_array
 
 _B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
 _BINV = np.uint64(pow(int(_B), -1, 1 << 64))
@@ -25,16 +28,30 @@ def rolling_hashes(data: bytes, g: int) -> np.ndarray:
     h[i] = Σ_{j<g} data[i+j] * B^(g-1-j)  (mod 2^64)
          = B^(i+g-1) * (P[i+g-1] - P[i-1])  with  P[i] = Σ_{j≤i} c[j] B^(-j).
     """
-    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    c = np.frombuffer(data, dtype=np.uint8)
     n = c.shape[0]
     if n < g:
         return np.empty(0, dtype=np.uint64)
-    binv_pows = np.cumprod(np.full(n, _BINV, dtype=np.uint64)) * _B  # B^-i
-    P = np.cumsum(c * binv_pows)  # wraps mod 2^64
-    b_pows = np.cumprod(np.full(n, _B, dtype=np.uint64)) * _BINV  # B^i
+    binv_pows = pow_array(_BINV, n)
+    P = np.cumsum(np.multiply(c, binv_pows, dtype=np.uint64))
+    b_pows = pow_array(_B, n)
     diff = P[g - 1 :].copy()
     diff[1:] -= P[: n - g]
     return diff * b_pows[g - 1 :]
+
+
+def sliding_min(a: np.ndarray, w: int) -> np.ndarray:
+    """out[i] = min(a[i:i+w]) — sparse-table doubling, O(n log w)."""
+    n = a.shape[0]
+    if n < w:
+        return np.empty(0, dtype=a.dtype)
+    p = 1
+    sp = a
+    while p * 2 <= w:
+        sp = np.minimum(sp[:-p], sp[p:])
+        p *= 2
+    # sp[i] = min(a[i:i+p]); window w = min(sp[i], sp[i+w-p])
+    return np.minimum(sp[: n - w + 1], sp[w - p : w - p + n - w + 1])
 
 
 def winnow_fingerprints(text: str, g: int, w: int) -> np.ndarray:
@@ -49,8 +66,95 @@ def winnow_fingerprints(text: str, g: int, w: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if h.shape[0] <= w:
         return np.unique(h.min(keepdims=True))
-    wins = np.lib.stride_tricks.sliding_window_view(h, w)
-    return np.unique(wins.min(axis=1))
+    return np.unique(sliding_min(h, w))
+
+
+def batch_winnow(
+    texts: "pd.Series[str]", g: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(fingerprints uint64[M], per-doc counts int64[nd]) for a whole Arrow
+    batch — one buffer, one rolling-hash pass, one sliding-min, no per-doc
+    Python.  Same values as ``winnow_fingerprints`` per doc.
+
+    Windows crossing doc boundaries are masked out via the '\\n' separator
+    (no document text contains a newline after normalization).
+    """
+    n = len(texts)
+    joined = "\n".join(t if isinstance(t, str) else "" for t in texts)
+    data = joined.encode("utf-8")
+    c = np.frombuffer(data, dtype=np.uint8)
+    m = c.shape[0]
+    counts = np.zeros(n, dtype=np.int64)
+    if m < g:
+        return np.empty(0, dtype=np.uint64), counts
+    h = rolling_hashes(data, g)  # h[i] covers bytes [i, i+g)
+    nl_pos = np.flatnonzero(c == 10)
+    nl_cum = np.zeros(m + 1, dtype=np.int64)
+    np.cumsum(c == 10, out=nl_cum[1:])
+    # g-window at i is intra-doc iff no newline in [i, i+g)
+    H = h.shape[0]
+    g_valid = (nl_cum[g:] - nl_cum[: H]) == 0  # len H
+    doc_of = np.searchsorted(nl_pos, np.arange(H), side="left")
+    # short docs (len < g+w-1 but >= g... also docs shorter than g) need the
+    # single-min fallback; handle docs with any valid g-window but fewer than
+    # w of them below.  First the common path: w-windows of valid g-hashes.
+    span = w + g - 1  # byte span of a w-window of g-grams
+    fps_parts: list[np.ndarray] = []
+    doc_parts: list[np.ndarray] = []
+    if H >= w:
+        wm = sliding_min(h, w)  # len H-w+1
+        W = wm.shape[0]
+        # valid iff entire byte span [i, i+span) intra-doc
+        w_valid = (nl_cum[span:][:W] - nl_cum[:W]) == 0
+        vals = wm[w_valid]
+        vdocs = doc_of[:W][w_valid]
+        # pre-drop adjacent repeats (the same min spans many neighboring
+        # windows) — shrinks the global sort by ~w x
+        if vals.shape[0]:
+            first = np.empty(vals.shape[0], dtype=bool)
+            first[0] = True
+            first[1:] = (vals[1:] != vals[:-1]) | (vdocs[1:] != vdocs[:-1])
+            vals, vdocs = vals[first], vdocs[first]
+        fps_parts.append(vals)
+        doc_parts.append(vdocs)
+    # fallback: docs whose valid g-window count is in (0, w) get min of all
+    doc_lens = np.frompyfunc(len, 1, 1)(
+        np.asarray([t if isinstance(t, str) else "" for t in texts], dtype=object)
+    ).astype(np.int64)
+    short = np.flatnonzero((doc_lens >= g) & (doc_lens < span))
+    if short.shape[0]:
+        # per short doc: min over its valid g-hashes (few docs; small loop)
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
+        mins = np.empty(short.shape[0], dtype=np.uint64)
+        for i, d in enumerate(short):
+            s = doc_starts[d]
+            seg = h[s : s + doc_lens[d] - g + 1]
+            mins[i] = seg.min()
+        fps_parts.append(mins)
+        doc_parts.append(short)
+    if not fps_parts:
+        return np.empty(0, dtype=np.uint64), counts
+    fps = np.concatenate(fps_parts)
+    docs_idx = np.concatenate(doc_parts)
+    order = np.lexsort((fps, docs_idx))
+    d_s, f_s = docs_idx[order], fps[order]
+    keep = np.empty(d_s.shape[0], dtype=bool)
+    if keep.shape[0]:
+        keep[0] = True
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    return f_s[keep], np.bincount(d_s[keep], minlength=n).astype(np.int64)
+
+
+def has_common_substring(a: bytes, b: bytes, L: int) -> bool:
+    """True iff a and b share some substring of length ≥ L — one O(n)
+    rolling-hash pass + set intersection (vanishing false-positive rate;
+    callers confirm positives with the exact suffix-array LCS)."""
+    if L <= 0 or len(a) < L or len(b) < L:
+        return False
+    ha = rolling_hashes(a, L)
+    hb = rolling_hashes(b, L)
+    return np.intersect1d(ha, hb, assume_unique=False).shape[0] > 0
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:

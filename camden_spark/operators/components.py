@@ -58,6 +58,8 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "url")
         )
+        # carry a `changed` flag so convergence needs no extra join: the
+        # check is a trivial scan of the just-checkpointed frame
         new_labels = (
             labels.join(nbr, "url", "left")
             .select(
@@ -65,17 +67,16 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "url")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter(F.col("changed")).isEmpty()
+        labels = new_labels.drop("changed")
+        if converged:
             break
     return labels.withColumnRenamed("label", "cluster_id")
 

@@ -56,7 +56,7 @@ def candidate_pairs_lsh(
     # groups above the cap are dropped mega-bands (boilerplate skew).
     sized = bands.groupBy("band", "band_hash").agg(
         F.count("*").alias("band_group_size")
-    )
+    ).cache()  # tiny (one row per distinct band key); metrics + keep reuse it
     metrics = sized.agg(
         F.count("*").cast("long").alias("bands_total"),
         F.sum(
@@ -75,9 +75,11 @@ def candidate_pairs_lsh(
     ).select("band", "band_hash")
 
     # semi-join prunes the exploded relation to joinable bands, then the
-    # self-equi-join runs on an explicit band-key repartition.
+    # self-equi-join runs on an explicit band-key repartition sized to the
+    # session's parallelism (cfg.band_partitions=0 → 2x defaultParallelism)
+    n_parts = cfg.band_partitions or sig.sparkSession.sparkContext.defaultParallelism * 2
     joinable = bands.join(keep, ["band", "band_hash"], "left_semi").repartition(
-        cfg.band_partitions, "band", "band_hash"
+        n_parts, "band", "band_hash"
     )
     left = joinable.alias("l")
     right = joinable.alias("r")

@@ -45,7 +45,7 @@ def candidate_pairs_simhash(
 
     sized = blocks.groupBy("block", "block_val").agg(
         F.count("*").alias("group_size")
-    )
+    ).cache()  # tiny; metrics + keep reuse it
     metrics = sized.agg(
         F.count("*").cast("long").alias("blocks_total"),
         F.sum((F.col("group_size") > cfg.max_simhash_group).cast("long")).alias(
@@ -56,8 +56,9 @@ def candidate_pairs_simhash(
         (F.col("group_size") > 1) & (F.col("group_size") <= cfg.max_simhash_group)
     ).select("block", "block_val")
 
+    n_parts = cfg.band_partitions or sig.sparkSession.sparkContext.defaultParallelism * 2
     joinable = blocks.join(keep, ["block", "block_val"], "left_semi").repartition(
-        cfg.band_partitions, "block", "block_val"
+        n_parts, "block", "block_val"
     )
     left = joinable.alias("l")
     right = joinable.alias("r")

@@ -30,8 +30,9 @@ from pyspark.sql.types import (
 
 from camden_spark.config import DedupConfig
 from camden_spark.functions.substr import (
+    batch_winnow,
+    has_common_substring,
     longest_common_substring,
-    winnow_fingerprints,
 )
 
 
@@ -45,12 +46,10 @@ def with_fingerprints(
     @F.pandas_udf(ArrayType(LongType()))
     def fp_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
+            # one flat pass per Arrow batch — no per-doc Python
+            flat, counts = batch_winnow(texts, g, w)
             yield pd.Series(
-                [
-                    winnow_fingerprints(t if isinstance(t, str) else "", g, w)
-                    .view(np.int64)
-                    for t in texts
-                ]
+                np.split(flat.view(np.int64), np.cumsum(counts)[:-1])
             )
 
     return pages.withColumn("fingerprints", fp_udf(F.col(text_col)))
@@ -62,7 +61,7 @@ def candidate_pairs_substr(
     """Fingerprint-equality candidate pairs (url_a < url_b) + metrics row."""
     cfg = cfg or DedupConfig()
     exploded = fp.select("url", F.explode("fingerprints").alias("fp"))
-    sized = exploded.groupBy("fp").agg(F.count("*").alias("group_size"))
+    sized = exploded.groupBy("fp").agg(F.count("*").alias("group_size")).cache()
     metrics = sized.agg(
         F.count("*").cast("long").alias("fingerprints_total"),
         F.sum(
@@ -73,9 +72,8 @@ def candidate_pairs_substr(
         (F.col("group_size") > 1)
         & (F.col("group_size") <= cfg.max_fingerprint_group)
     ).select("fp")
-    joinable = exploded.join(keep, "fp", "left_semi").repartition(
-        cfg.band_partitions, "fp"
-    )
+    n_parts = cfg.band_partitions or fp.sparkSession.sparkContext.defaultParallelism * 2
+    joinable = exploded.join(keep, "fp", "left_semi").repartition(n_parts, "fp")
     left, right = joinable.alias("l"), joinable.alias("r")
     pairs = (
         left.join(
@@ -117,34 +115,42 @@ def verify_pairs_substr(
     texts = pages.select("url", F.col(text_col).alias("_t"))
     a = texts.select(F.col("url").alias("url_a"), F.col("_t").alias("text_a"))
     b = texts.select(F.col("url").alias("url_b"), F.col("_t").alias("text_b"))
-    joined = (
-        pairs.join(a, "url_a")
-        .join(b, "url_b")
-        .repartition(cfg.band_partitions, "url_a", "url_b")
+    n_parts = cfg.band_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2
+    joined = pairs.join(a, "url_a").join(b, "url_b").repartition(
+        n_parts, "url_a", "url_b"
     )
     min_overlap = cfg.min_overlap_chars
     min_frac = cfg.min_overlap_frac
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lens, fracs = [], []
-            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
-                ta, tb = ta or "", tb or ""
-                lcs = longest_common_substring(ta, tb)
-                shorter = min(len(ta.encode()), len(tb.encode()))
-                lens.append(lcs)
-                fracs.append(lcs / shorter if shorter else 0.0)
-            out = pd.DataFrame(
+            keep_a, keep_b, lens = [], [], []
+            for ua, ub, ta, tb in zip(
+                pdf["url_a"], pdf["url_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                ba = (ta or "").encode()
+                bb = (tb or "").encode()
+                shorter = min(len(ba), len(bb))
+                if shorter == 0:
+                    continue
+                # the pair passes iff LCS ≥ max(min_overlap, min_frac*shorter);
+                # an O(n) rolling-hash screen at exactly that threshold rejects
+                # the common case (near-dup candidates with only short shared
+                # runs) before the exact suffix-array LCS confirms survivors.
+                threshold = max(min_overlap, int(np.ceil(min_frac * shorter)))
+                if not has_common_substring(ba, bb, threshold):
+                    continue
+                lcs = longest_common_substring(ta or "", tb or "")
+                if lcs >= min_overlap and lcs / shorter >= min_frac:
+                    keep_a.append(ua)
+                    keep_b.append(ub)
+                    lens.append(lcs)
+            yield pd.DataFrame(
                 {
-                    "url_a": pdf["url_a"],
-                    "url_b": pdf["url_b"],
+                    "url_a": pd.array(keep_a, dtype="object"),
+                    "url_b": pd.array(keep_b, dtype="object"),
                     "overlap_chars": pd.array(lens, dtype="int64"),
-                    "_frac": fracs,
                 }
             )
-            yield out.loc[
-                (out["overlap_chars"] >= min_overlap) & (out["_frac"] >= min_frac),
-                ["url_a", "url_b", "overlap_chars"],
-            ]
 
     return joined.mapInPandas(verify, schema=_VERIFY_SCHEMA)

@@ -34,6 +34,7 @@ from camden_spark.operators.substr import (
 )
 from camden_spark.functions.shingles import with_signatures
 from camden_spark.plans.checkpoint import SnapshotStore
+from camden_spark.plans.metrics import StageCounters
 from camden_spark.sources.pages import normalize_pages
 
 
@@ -42,6 +43,9 @@ class PipelineResult:
     clusters: DataFrame          # (url, cluster_id, is_canonical)
     pairs: DataFrame             # union of verified duplicate pairs + source
     metrics: dict = field(default_factory=dict)
+    #: Observation-backed row counters (plans/metrics.py); populated after the
+    #: clusters/pairs frames are materialized — read via counters.get()
+    counters: "StageCounters | None" = None
 
 
 @dataclass
@@ -52,6 +56,9 @@ class DedupPipeline:
     enable_lsh: bool = True
     enable_simhash: bool = True
     enable_substr: bool = True
+    #: eagerly collect per-stage skew metrics (one extra tiny action per
+    #: stage); disable in latency-sensitive benchmark runs
+    collect_metrics: bool = True
 
     def _store(self) -> SnapshotStore | None:
         if self.checkpoint_dir is None:
@@ -71,7 +78,15 @@ class DedupPipeline:
                 return df
             return build()
 
-        norm = normalize_pages(pages, cfg.lowercase, cfg.collapse_whitespace)
+        # Spread the input across the cluster when it arrives under-split
+        # (few/unsplittable files would run every Arrow UDF on a handful of
+        # cores).  Skipped when the scan already fans out — a full shuffle of
+        # the corpus is exactly what to avoid at 100 TB.
+        if pages.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
+            pages = pages.repartition(cfg.shuffle_partitions)
+        norm = normalize_pages(
+            pages, cfg.lowercase, cfg.collapse_whitespace
+        ).cache()
 
         # ---- stage 1: exact (camden semantics) -------------------------
         exact = staged(
@@ -98,7 +113,7 @@ class DedupPipeline:
         # near stages run on distinct texts only (canonicals + singletons)
         distinct_pages = norm.join(
             exact.filter(F.col("is_canonical")).select("url"), "url", "left_semi"
-        )
+        ).cache()
 
         pair_frames = [exact_pairs]
 
@@ -115,7 +130,8 @@ class DedupPipeline:
         if self.enable_lsh:
             def build_lsh() -> DataFrame:
                 cand, m = candidate_pairs_lsh(sig, cfg)
-                metrics["lsh"] = m.first().asDict()
+                if self.collect_metrics:
+                    metrics["lsh"] = m.first().asDict()
                 return verify_pairs_jaccard(cand, sig, cfg)
 
             lsh_pairs = staged("lsh_pairs", build_lsh, upstream=["signatures"])
@@ -128,7 +144,8 @@ class DedupPipeline:
         if self.enable_simhash:
             def build_simhash() -> DataFrame:
                 pairs, m = candidate_pairs_simhash(sig, cfg)
-                metrics["simhash"] = m.first().asDict()
+                if self.collect_metrics:
+                    metrics["simhash"] = m.first().asDict()
                 return pairs
             sim_pairs = staged(
                 "simhash_pairs", build_simhash, upstream=["signatures"]
@@ -141,9 +158,22 @@ class DedupPipeline:
 
         if self.enable_substr:
             def build_substr() -> DataFrame:
-                fp = with_fingerprints(distinct_pages, cfg)
+                # cache: the fingerprint UDF output feeds four consumers
+                # (group sizing + both sides of the self-join)
+                fp = with_fingerprints(distinct_pages, cfg).select(
+                    "url", "fingerprints"
+                ).cache()
                 cand, m = candidate_pairs_substr(fp, cfg)
-                metrics["substr"] = m.first().asDict()
+                if self.collect_metrics:
+                    metrics["substr"] = m.first().asDict()
+                # pairs already confirmed by LSH join the same CC component —
+                # skip their (expensive) suffix-array verification
+                if self.enable_lsh:
+                    cand = cand.join(
+                        lsh_pairs.select("url_a", "url_b"),
+                        ["url_a", "url_b"],
+                        "left_anti",
+                    )
                 return verify_pairs_substr(cand, distinct_pages, cfg)
             sub_pairs = staged(
                 "substr_pairs", build_substr, upstream=["exact"]
@@ -155,19 +185,27 @@ class DedupPipeline:
             )
 
         # ---- union (F8) + connected components (F6) --------------------
+        counters = StageCounters()
         all_pairs = pair_frames[0]
         for pf in pair_frames[1:]:
             all_pairs = all_pairs.unionByName(pf)
-        all_pairs = all_pairs.dropDuplicates(["url_a", "url_b"])
+        all_pairs = counters.observe_rows(
+            all_pairs.dropDuplicates(["url_a", "url_b"]), "pairs_total"
+        )
 
         def build_clusters() -> DataFrame:
             return assign_clusters(
                 norm.select("url"), all_pairs.select("url_a", "url_b"), cfg
             )
 
-        clusters = staged(
-            "clusters",
-            build_clusters,
-            upstream=["exact", "lsh_pairs", "simhash_pairs", "substr_pairs"],
+        clusters = counters.observe_rows(
+            staged(
+                "clusters",
+                build_clusters,
+                upstream=["exact", "lsh_pairs", "simhash_pairs", "substr_pairs"],
+            ),
+            "clusters_total",
         )
-        return PipelineResult(clusters=clusters, pairs=all_pairs, metrics=metrics)
+        return PipelineResult(
+            clusters=clusters, pairs=all_pairs, metrics=metrics, counters=counters
+        )

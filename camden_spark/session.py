@@ -33,7 +33,7 @@ def get_spark(
     * UTC session timezone so timestamp semantics match the DuckDB oracle
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    shuffle_partitions = shuffle_partitions or max(cores, 16)
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -47,7 +47,32 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # split input scans finely enough that a single-file corpus still
+        # fans out across all cores (sized for text-heavy rows)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:
+    """Pre-fork one Python UDF worker per core and pre-import numpy/pandas.
+
+    The first Arrow-UDF stage otherwise pays a simultaneous-import storm
+    (N workers x `import numpy, pandas`), which lands in whatever stage runs
+    first and distorts scaling.  One tiny job moves that cost to session
+    startup — the executor-provisioning phase on a real cluster.
+    """
+    import pyspark.sql.functions as F
+
+    cores = cores or spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf("long")
+    def _warm(s):  # noqa: ANN001 - pandas_udf signature
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        return s
+
+    spark.range(0, cores * 2, 1, cores * 2).select(_warm("id")).count()

@@ -38,6 +38,10 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--no-substr", action="store_true")
     p.add_argument("--write-split", action="store_true",
                    help="also write canonical/duplicates tables (A6 analog)")
+    p.add_argument("--report", action="store_true",
+                   help="print the console duplicate report (extra actions)")
+    p.add_argument("--skip-metrics", action="store_true",
+                   help="skip per-stage skew metric collection (bench mode)")
     return p.parse_args(argv)
 
 
@@ -54,16 +58,19 @@ def run(argv: list[str]) -> dict:
     )
 
     spark = get_spark("camden_spark_main", cores=args.cores)
+    from camden_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
     cfg = DedupConfig(jaccard_threshold=args.jaccard_threshold)
     pages = load_pages(spark, args.input)
     t0 = time.time()
-    n_docs = pages.count()
     pipeline = DedupPipeline(
         cfg=cfg,
         checkpoint_dir=args.checkpoint_dir,
         enable_lsh=not args.no_lsh,
         enable_simhash=not args.no_simhash,
         enable_substr=not args.no_substr,
+        collect_metrics=not args.skip_metrics,
     )
     result = pipeline.run(pages)
     clusters = result.clusters
@@ -73,13 +80,18 @@ def run(argv: list[str]) -> dict:
         stats = write_dedup_split(pages, clusters, args.output)
     else:
         stats = {}
+    # doc count rides the observe() counter on the clusters frame — the
+    # write above materialized it, no extra scan
+    n_docs = (result.counters.get() or {}).get("clusters_total") or pages.count()
     elapsed = time.time() - t0
-    print_duplicate_report(clusters)
+    if args.report:
+        print_duplicate_report(clusters)
     summary = {
         "docs": n_docs,
         "elapsed_sec": round(elapsed, 3),
         "docs_per_sec": round(n_docs / elapsed, 1),
         "metrics": {k: v for k, v in result.metrics.items()},
+        "counters": result.counters.get() if result.counters else {},
         **stats,
     }
     with open(f"{args.output}/summary.json", "w") as f:

@@ -1,0 +1,62 @@
+"""Driver-contract conformance: every queries() entry runs at sf0.001 and
+SQL-expressible ones match their DuckDB oracle (row count + column names +
+order-insensitive value hash) — a local mirror of the driver's gate."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from tools.check_oracles import TABLES, table_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"url", "cluster_id", "is_canonical"}
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql()))
+def test_oracle_match(spark, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(entry_mod.oracle_sql()[name])
+    ocols = [c.lower() for c in rel.columns]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(scols, srows) == table_hash(ocols, orows)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()) - {"near_dup_clusters"})
+)
+def test_rows_only_queries_run(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

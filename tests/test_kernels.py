@@ -119,3 +119,51 @@ def test_lcs_matches_difflib_fuzz():
             0, len(a), 0, len(b)
         )
         assert longest_common_substring(a, b) == m.size
+
+
+def test_batch_shingles_match_per_doc():
+    """Flat batch kernel ≡ naive per-doc shingling (strings → sets)."""
+    from camden_spark.functions.hashing import batch_shingle_hashes
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(vocab[i] for i in rng.randint(0, 200, rng.randint(0, 30)))
+        for _ in range(100)
+    ] + ["", "a b", "a b c d e f g"]
+    flat, counts = batch_shingle_hashes(pd.Series(texts), 5)
+    assert int(counts.sum()) == flat.shape[0]
+    pos = 0
+    for t, cnt in zip(texts, counts):
+        got = flat[pos : pos + cnt]
+        pos += cnt
+        toks = t.split()
+        if not toks:
+            assert cnt == 0
+            continue
+        expected_n = len(oracle.shingle_set(t, 5))
+        assert cnt == expected_n, t
+        # within-doc sorted & distinct
+        assert np.all(np.diff(got.astype(np.uint64)) > 0) or cnt <= 1
+    # same shingle text in different docs → same hash
+    f2, c2 = batch_shingle_hashes(pd.Series(["a b c d e", "x a b c d e y"]), 5)
+    d0, d1 = f2[: c2[0]], f2[c2[0] :]
+    assert len(np.intersect1d(d0, d1)) == 1
+
+
+def test_batch_winnow_matches_per_doc():
+    from camden_spark.functions.substr import batch_winnow
+
+    rng = np.random.RandomState(12)
+    vocab = [f"tok{i}" for i in range(500)]
+    texts = [
+        " ".join(vocab[i] for i in rng.randint(0, 500, rng.randint(0, 80)))
+        for _ in range(60)
+    ] + ["", "tiny", "z" * 49, "z" * 50, "q" * 300]
+    flat, counts = batch_winnow(pd.Series(texts), 50, 40)
+    pos = 0
+    for t, cnt in zip(texts, counts):
+        single = np.unique(winnow_fingerprints(t, 50, 40))
+        got = np.sort(flat[pos : pos + cnt].astype(np.uint64))
+        pos += cnt
+        assert np.array_equal(single, got), (len(t), cnt, len(single))

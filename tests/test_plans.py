@@ -1,0 +1,223 @@
+"""Checkpoint/resume, sinks, streaming, ANN, text functions, multimodal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from camden_spark.config import DedupConfig
+from camden_spark.operators.ann import (
+    ann_near_dup_pairs,
+    brute_force_topk,
+    cosine_col,
+)
+from camden_spark.plans.checkpoint import SnapshotStore
+from camden_spark.plans.pipeline import DedupPipeline
+from camden_spark.sources.sinks import (
+    cluster_report,
+    write_clusters_json,
+    write_dedup_split,
+)
+from camden_spark.functions.text import lang_id_udf, token_count, with_text_stats
+
+
+def test_snapshot_store_roundtrip(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path), "cfg123")
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return df
+
+    out1 = store.stage(spark, "s1", build, upstream=[], counters={"n": 100})
+    assert out1.count() == 100 and calls == [1]
+    # resume: build NOT called again
+    store2 = SnapshotStore(str(tmp_path), "cfg123")
+    out2 = store2.stage(spark, "s1", build)
+    assert out2.count() == 100 and calls == [1]
+    assert store2.lineage["s1"]["rows"] == 100
+    assert store2.lineage["s1"]["num_partitions"] >= 1
+    # different config hash → recompute
+    store3 = SnapshotStore(str(tmp_path), "other")
+    store3.stage(spark, "s1", build)
+    assert calls == [1, 1]
+
+
+def test_pipeline_resume_identical(spark, pages_df, tmp_path):
+    cfg = DedupConfig()
+    p = DedupPipeline(cfg=cfg, checkpoint_dir=str(tmp_path))
+    r1 = sorted(map(tuple, p.run(pages_df).clusters.collect()))
+    # second run resumes every stage from snapshot
+    p2 = DedupPipeline(cfg=cfg, checkpoint_dir=str(tmp_path))
+    r2 = sorted(map(tuple, p2.run(pages_df).clusters.collect()))
+    assert r1 == r2
+    manifest = os.path.join(
+        str(tmp_path), cfg.config_hash(), "clusters", "_MANIFEST.json"
+    )
+    with open(manifest) as f:
+        m = json.load(f)
+    assert m["rows"] == len(r1)
+    assert "exact" in m["upstream"]
+
+
+def test_sinks(spark, pages_df, tmp_path):
+    cfg = DedupConfig()
+    clusters = DedupPipeline(cfg=cfg, enable_simhash=False, enable_substr=False).run(
+        pages_df
+    ).clusters
+    rep = cluster_report(clusters)
+    assert rep.filter(F.col("n") <= 1).count() == 0
+    write_clusters_json(clusters, str(tmp_path / "json"))
+    loaded = spark.read.json(str(tmp_path / "json"))
+    assert loaded.count() == rep.count()
+    stats = write_dedup_split(pages_df, clusters, str(tmp_path / "split"))
+    assert stats["canonical"] + stats["moved"] == pages_df.count()
+    assert stats["moved"] == clusters.filter(~F.col("is_canonical")).count()
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from camden_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    src_dir = tmp_path / "stream_src"
+    df = spark.createDataFrame(
+        [
+            ("u/a", "same", "2025-01-01 00:00:00"),
+            ("u/b", "same", "2025-01-01 00:10:00"),
+            ("u/c", "diff", "2025-01-01 00:20:00"),
+        ],
+        ["url", "text", "ts"],
+    ).withColumn("warc_ts", F.col("ts").cast("timestamp")).drop("ts")
+    df.write.parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = streaming_exact_dedup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, checksum from dedup_stream_test").collect()
+    # one row per distinct checksum: {same, diff} → 2 rows
+    assert len(got) == 2
+    assert {r["url"] for r in got} <= {"u/a", "u/b", "u/c"}
+
+
+def test_brute_force_topk(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((50, 8)).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": range(50), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    topk = brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=5)
+    rows = topk.collect()
+    assert len(rows) == 15
+    # compare against numpy for query 0
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    sims[0] = -np.inf
+    expected = set(np.argsort(-sims)[:5].tolist())
+    got = {r["vec_id"] for r in rows if r["query_id"] == 0}
+    assert got == expected
+    for r in rows:
+        assert 1 <= r["rank"] <= 5
+
+
+def test_ann_near_dup_finds_planted(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(4)
+    base = rng.standard_normal((40, 16))
+    # plant 5 near-identical pairs
+    vecs = list(base)
+    for i in range(5):
+        vecs.append(base[i] + rng.standard_normal(16) * 0.01)
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = ann_near_dup_pairs(df, dim=16, threshold=0.99, n_planes=8, n_tables=6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, 40 + i) for i in range(5)}
+    assert expected <= found
+    assert all(r["cosine_sim"] >= 0.99 for r in pairs.collect())
+
+
+def test_text_stats_and_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox and the lazy dog in the rain.", "en"),
+            (2, "Der Hund ist nicht mit der Katze und dem Vogel.", "de"),
+            (3, "", "en"),
+            (4, "12345 67890 !!!", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    stats = {r["doc_id"]: r for r in with_text_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 11
+    assert stats[3]["n_tokens"] == 0 and stats[3]["quality_score"] == 0.0
+    assert stats[4]["digit_ratio"] > 0.5
+    assert 0 <= stats[1]["quality_score"] <= 1
+    langs = {
+        r["doc_id"]: r["pred"]
+        for r in df.select(
+            "doc_id", lang_id_udf()(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert langs[1] == "en"
+    assert langs[2] == "de"
+    assert langs[3] == "und"
+
+
+def test_multimodal_features(spark):
+    from camden_spark.multimodal import extract_media_features, media_exact_dup_clusters
+
+    df = spark.createDataFrame(
+        [
+            (1, "m://1", "image", bytearray(b"payload-one"), 4, 4, None),
+            (2, "m://2", "image", bytearray(b"payload-one"), 4, 4, None),
+            (3, "m://3", "audio", bytearray(b"payload-two"), None, None, 1000),
+        ],
+        "media_id long, url string, media_type string, payload binary, "
+        "width int, height int, duration_ms long",
+    )
+    feats = {r["media_id"]: r for r in extract_media_features(df, fake=True).collect()}
+    assert len(feats[1]["feature"]) == 16
+    # identical payloads → identical features and checksums
+    assert feats[1]["feature"] == feats[2]["feature"]
+    assert feats[1]["payload_sha256"] == feats[2]["payload_sha256"]
+    assert feats[1]["payload_sha256"] != feats[3]["payload_sha256"]
+    clusters = {r["media_id"]: r for r in media_exact_dup_clusters(df).collect()}
+    assert clusters[1]["cluster_size"] == 2
+    assert clusters[3]["cluster_size"] == 1
+    with pytest.raises(Exception):
+        extract_media_features(df, fake=False).collect()
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        DedupConfig(lsh_bands=3, lsh_rows=4, minhash_perms=128)
+    with pytest.raises(ValueError):
+        DedupConfig(simhash_blocks=2, simhash_radius=3)
+    with pytest.raises(ValueError):
+        DedupConfig(checksum_algo="md5")
+    a, b = DedupConfig(), DedupConfig(jaccard_threshold=0.9)
+    assert a.config_hash() != b.config_hash()
+    assert a.config_hash() == DedupConfig().config_hash()
+
+
+def test_empty_input(spark):
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    empty = spark.createDataFrame([], schema)
+    res = DedupPipeline().run(empty)
+    assert res.clusters.count() == 0
+    assert res.pairs.count() == 0
