@@ -296,6 +296,64 @@ WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND a.vec_id < b.vec_id
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-5-gram Jaccard for all doc pairs with doc_id < 40 — the
+    brute-force ground truth the MinHash estimate approximates, entirely in
+    JVM array builtins (transform/slice/array_intersect/array_union)."""
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                F.size("t") < 5, F.array(F.array_join("t", " "))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.array_join(F.slice("t", i, 5), " "),
+                )
+            )
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_union("sa", "sb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' ')))
+         END AS shingles
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check; semantics verified in
 # tests/ against the pure-Python oracle)
@@ -389,6 +447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_agg": q_events_agg,
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "ngram_jaccard": q_ngram_jaccard,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
@@ -412,4 +471,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_agg": SQL_EVENTS_AGG,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
 }

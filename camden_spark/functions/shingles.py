@@ -72,6 +72,31 @@ def with_signatures(
     ).drop("_sig")
 
 
+def with_shingles(
+    pages: DataFrame, cfg: DedupConfig | None = None, text_col: str = "norm_text"
+) -> DataFrame:
+    """(url, shingles) only — for candidate-pair verification.
+
+    At scale the full corpus's shingle sets are never materialized: the
+    pipeline caches just (minhash, simhash) and recomputes shingles for the
+    ~few-% of docs that appear in candidate pairs.
+    """
+    cfg = cfg or DedupConfig()
+    k = cfg.shingle_k
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sh_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from camden_spark.functions.hashing import batch_shingle_hashes
+
+        for texts in it:
+            flat, counts = batch_shingle_hashes(texts, k)
+            yield pd.Series(
+                np.split(flat.view(np.int64), np.cumsum(counts)[:-1])
+            )
+
+    return pages.select("url", sh_udf(F.col(text_col)).alias("shingles"))
+
+
 def jaccard_on_shingles(left: str = "shingles_a", right: str = "shingles_b"):
     """Exact Jaccard of two distinct-shingle-hash arrays — pure JVM builtins
     (array_intersect/array_union), no UDF.  Used to verify candidate pairs."""

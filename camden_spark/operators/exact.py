@@ -48,10 +48,14 @@ def exact_dedup_clusters(
     (url, checksum, cluster_size, rn, is_canonical).
 
     ``rn == 1`` rows are canonical (kept), ``rn > 1`` are duplicates (the
-    reference's moved files, src/operations.rs:50).
+    reference's moved files, src/operations.rs:50).  A precomputed
+    ``checksum`` column is used as-is (lets callers fuse hashing with other
+    per-row work in one scan).
     """
     cfg = cfg or DedupConfig()
-    hashed = with_checksum(pages, cfg).select("url", "warc_ts", "checksum")
+    hashed = (
+        pages if "checksum" in pages.columns else with_checksum(pages, cfg)
+    ).select("url", "warc_ts", "checksum")
     w_order = Window.partitionBy("checksum").orderBy("url", "warc_ts")
     w_all = Window.partitionBy("checksum")
     return hashed.select(

@@ -107,7 +107,16 @@ def verify_pairs_jaccard(
     Returns (url_a, url_b, jaccard) for pairs ≥ cfg.jaccard_threshold.
     """
     cfg = cfg or DedupConfig()
-    sh = sig.select("url", "shingles")
+    pairs = pairs.cache()  # consumed 3x below (url set x2 + the join)
+    # prune the (wide, shingle-array-carrying) signature table to urls that
+    # actually appear in candidate pairs BEFORE the shuffle joins — the full
+    # corpus's shingle arrays must never ride an exchange for a small pair set
+    pair_urls = (
+        pairs.select(F.col("url_a").alias("url"))
+        .union(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    sh = sig.select("url", "shingles").join(pair_urls, "url", "left_semi")
     a = sh.select(
         F.col("url").alias("url_a"), F.col("shingles").alias("shingles_a")
     )

@@ -112,7 +112,16 @@ def verify_pairs_substr(
     code (no global structure, memory bounded by batch).
     """
     cfg = cfg or DedupConfig()
-    texts = pages.select("url", F.col(text_col).alias("_t"))
+    pairs = pairs.cache()  # consumed 3x below (url set x2 + the join)
+    # prune the corpus to candidate urls before shuffling text bodies
+    pair_urls = (
+        pairs.select(F.col("url_a").alias("url"))
+        .union(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    texts = pages.select("url", F.col(text_col).alias("_t")).join(
+        pair_urls, "url", "left_semi"
+    )
     a = texts.select(F.col("url").alias("url_a"), F.col("_t").alias("text_a"))
     b = texts.select(F.col("url").alias("url_b"), F.col("_t").alias("text_b"))
     n_parts = cfg.band_partitions or pages.sparkSession.sparkContext.defaultParallelism * 2

@@ -32,7 +32,7 @@ from camden_spark.operators.substr import (
     verify_pairs_substr,
     with_fingerprints,
 )
-from camden_spark.functions.shingles import with_signatures
+from camden_spark.functions.shingles import with_shingles, with_signatures
 from camden_spark.plans.checkpoint import SnapshotStore
 from camden_spark.plans.metrics import StageCounters
 from camden_spark.sources.pages import normalize_pages
@@ -78,15 +78,27 @@ class DedupPipeline:
                 return df
             return build()
 
+        # Column-prune FIRST: only (url, warc_ts, text) ever leave the scan —
+        # `html` must not ride through the repartition shuffle or the cache.
+        base = pages.select("url", "warc_ts", "text")
         # Spread the input across the cluster when it arrives under-split
         # (few/unsplittable files would run every Arrow UDF on a handful of
         # cores).  Skipped when the scan already fans out — a full shuffle of
         # the corpus is exactly what to avoid at 100 TB.
-        if pages.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
-            pages = pages.repartition(cfg.shuffle_partitions)
-        norm = normalize_pages(
-            pages, cfg.lowercase, cfg.collapse_whitespace
-        ).cache()
+        if base.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
+            base = base.repartition(cfg.shuffle_partitions)
+        # one scan computes the exact-dup checksum AND the normalized text,
+        # then the raw text (and html) are dropped — the cached working set
+        # carries exactly what downstream stages read
+        from camden_spark.operators.exact import with_checksum
+
+        norm = (
+            normalize_pages(
+                with_checksum(base, cfg), cfg.lowercase, cfg.collapse_whitespace
+            )
+            .select("url", "warc_ts", "checksum", "norm_text")
+            .cache()
+        )
 
         # ---- stage 1: exact (camden semantics) -------------------------
         exact = staged(
@@ -110,19 +122,25 @@ class DedupPipeline:
             )
         )
 
-        # near stages run on distinct texts only (canonicals + singletons)
-        distinct_pages = norm.join(
+        # near stages run on distinct texts only (canonicals + singletons).
+        # Derived from the cached `norm` (no second full-width cache): the
+        # semi join broadcasts the url set.
+        distinct_pages = norm.select("url", "norm_text").join(
             exact.filter(F.col("is_canonical")).select("url"), "url", "left_semi"
-        ).cache()
+        )
 
         pair_frames = [exact_pairs]
 
         needs_sig = self.enable_lsh or self.enable_simhash
         if needs_sig:
+            # cache only the fixed-width signatures; shingle-hash sets are
+            # recomputed later for just the docs that appear in candidate
+            # pairs (never materialized corpus-wide — they dominate memory
+            # traffic and a 10^12-doc corpus could not hold them anyway)
             sig = staged(
                 "signatures",
                 lambda: with_signatures(distinct_pages, cfg).select(
-                    "url", "shingles", "minhash", "simhash"
+                    "url", "minhash", "simhash"
                 ),
                 upstream=["exact"],
             ).cache()
@@ -132,7 +150,17 @@ class DedupPipeline:
                 cand, m = candidate_pairs_lsh(sig, cfg)
                 if self.collect_metrics:
                     metrics["lsh"] = m.first().asDict()
-                return verify_pairs_jaccard(cand, sig, cfg)
+                cand = cand.cache()
+                cand.count()  # small; avoids racing the band-join subtree
+                pair_urls = (
+                    cand.select(F.col("url_a").alias("url"))
+                    .union(cand.select(F.col("url_b").alias("url")))
+                    .distinct()
+                )
+                sh = with_shingles(
+                    distinct_pages.join(pair_urls, "url", "left_semi"), cfg
+                )
+                return verify_pairs_jaccard(cand, sh, cfg)
 
             lsh_pairs = staged("lsh_pairs", build_lsh, upstream=["signatures"])
             pair_frames.append(
