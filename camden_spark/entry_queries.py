@@ -360,26 +360,41 @@ WHERE a.doc_id < b.doc_id
 # --------------------------------------------------------------------------
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 driver check.  Driver-facing outputs must be canon-safe scalars
+    (the driver's canonicalizer sorts rows — raw array columns crash it), so
+    the 128-slot signature is exposed as a deterministic 64-bit digest; the
+    array-returning ``with_signatures`` stays the internal API."""
     pages = normalize_pages(pages_from_documents(spark, sf_dir))
     sig = with_signatures(pages, CFG)
+    minhash_digest = F.xxhash64(
+        F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
+    )
     return sig.select(
         "url",
         F.size("shingles").cast("long").alias("n_shingles"),
-        "minhash",
+        minhash_digest.alias("minhash_digest"),
         "simhash",
     )
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = normalize_pages(pages_from_documents(spark, sf_dir))
-    sig = with_signatures(pages, CFG).select("url", "shingles", "minhash")
+    sig = (
+        with_signatures(pages, CFG)
+        .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
+        .select("url", "shingles", "minhash")
+    )
     cand, _ = candidate_pairs_lsh(sig, CFG)
     return verify_pairs_jaccard(cand, sig, CFG)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = normalize_pages(pages_from_documents(spark, sf_dir))
-    sig = with_signatures(pages, CFG).select("url", "simhash")
+    sig = (
+        with_signatures(pages, CFG)
+        .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
+        .select("url", "simhash")
+    )
     pairs, _ = candidate_pairs_simhash(sig, CFG)
     return pairs
 
@@ -397,6 +412,92 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DedupPipeline(cfg=CFG).run(pages).clusters
 
 
+def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifiable flagship slice: candidate generation swapped for the
+    brute-force exact 5-gram-Jaccard pair generator (the semantics LSH
+    approximates, already green as ``ngram_jaccard``) on doc_id < 40, then the
+    REAL connected-components operator (F6) over the union of edges (F8) —
+    DuckDB oracle is a recursive-CTE min-label propagation.  This makes the
+    cluster-assignment path hash-verified, not just pytest-verified.
+
+    Node ids are zero-padded doc_ids so the CC operator's lexicographic
+    min-label equals the numeric min doc_id.
+    """
+    from camden_spark.operators.components import assign_clusters
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    node = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    toks = docs.select(
+        node.alias("url"), F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    sh = toks.select(
+        "url",
+        F.array_distinct(
+            F.when(
+                F.size("t") < 5, F.array(F.array_join("t", " "))
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 4),
+                    lambda i: F.array_join(F.slice("t", i, 5), " "),
+                )
+            )
+        ).alias("shingles"),
+    )
+    a = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sb"))
+    edges = (
+        a.join(b, F.col("url_a") < F.col("url_b"))
+        .filter(
+            F.size(F.array_intersect("sa", "sb")).cast("double")
+            / F.size(F.array_union("sa", "sb")).cast("double")
+            >= CFG.jaccard_threshold
+        )
+        .select("url_a", "url_b")
+    )
+    clusters = assign_clusters(sh.select("url"), edges, CFG)
+    return clusters.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS_EXACT = rf"""
+WITH RECURSIVE
+toks AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT id,
+         CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' ')))
+         END AS shingles
+  FROM toks
+),
+edges AS (
+  SELECT a.id AS src, b.id AS dst
+  FROM sh a, sh b
+  WHERE a.id <> b.id
+    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+        >= {CFG.jaccard_threshold}
+),
+walk(id, label) AS (
+  SELECT id, id FROM toks
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+lab AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       id = cluster_id AS is_canonical
+FROM lab
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -404,11 +505,66 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of lang_id_udf, generated from the same STOPWORDS dict:
+    token hits = whitespace tokens of lower(text) IN the profile; zh adds
+    per-char hits; argmax ties → later language code (checked zh-first)."""
+    from camden_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    count_cols = []
+    for lg in langs:
+        words = ", ".join("'" + w.replace("'", "''") + "'" for w in STOPWORDS[lg])
+        expr = f"len(list_filter(t, x -> x IN ({words})))"
+        if lg == "zh":
+            chars = "".join(STOPWORDS["zh"])
+            expr += (
+                f" + (length(text) - length(regexp_replace(text, '[{chars}]', '', 'g')))"
+            )
+        count_cols.append(f"{expr} AS c_{lg}")
+    gmax = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + gmax + " = 0 THEN 'und' "
+    for lg in reversed(langs):  # later code wins ties → check later codes first
+        case += f"WHEN c_{lg} = {gmax} THEN '{lg}' "
+    case += "END"
+    counts = ",\n         ".join(count_cols)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(lower(text), '\\s+') AS t
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         {counts}
+  FROM toks
+)
+SELECT doc_id, lang, {case} AS lang_pred
+FROM c
+"""
+
+
+SQL_LANG_ID = _lang_id_oracle_sql()
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (G).  The driver-facing column is sha256 —
+    byte-identical between Spark sha2 and DuckDB sha256, so the query is
+    hash-verified; the 64-bit xxhash64 variant (functions/text.py:
+    doc_fingerprint) remains the cheap internal fingerprint."""
     docs = _documents(spark, sf_dir)
     return docs.select(
-        "doc_id", F.xxhash64("text").alias("fingerprint")
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars"),
     )
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id, sha256(text) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,10 +575,17 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize media payloads from documents, run the
-    Arrow-batched feature extractor (deterministic fake decode)."""
+    Arrow-batched feature extractor (deterministic fake decode).
+
+    Driver-facing projection is all scalars (canon-safe): the 16-dim float
+    feature is summarized as ``feature_u16_sum`` — the exact integer sum of
+    the uint16 lanes the fake decoder derived the floats from, recoverable
+    because |f*65535 - round(f*65535)| < 0.004 at float32 precision.  The
+    DuckDB oracle recomputes it from the sha256 hex digest, so the whole
+    decode path is hash-verified end to end."""
     from camden_spark.multimodal import extract_media_features
 
-    docs = _documents(spark, sf_dir).limit(200)
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("url"),
@@ -432,7 +595,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_media_features(media, fake=True)
+    feats = extract_media_features(media, fake=True)
+    u16_sum = F.aggregate(
+        F.transform(
+            "feature", lambda x: F.round(x.cast("double") * 65535.0).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "payload_sha256",
+        u16_sum.alias("feature_u16_sum"),
+    )
+
+
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         'image' AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS payload_sha256
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, media_type, n_bytes, payload_sha256,
+       CAST(list_sum(list_transform(range(0, 16), i ->
+         CAST(('0x' || substr(payload_sha256, 4*i + 3, 2)
+                    || substr(payload_sha256, 4*i + 1, 2)) AS INTEGER)
+       )) AS BIGINT) AS feature_u16_sum
+FROM m
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -448,16 +642,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "media_features": q_media_features,
+    "near_dup_clusters_exact": q_near_dup_clusters_exact,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "substr_pairs": q_substr_pairs,
     "near_dup_clusters": q_near_dup_clusters,
-    "lang_id": q_lang_id,
-    "doc_fingerprints": q_doc_fingerprints,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "media_features": q_media_features,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -472,4 +667,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk": SQL_ANN_TOPK,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "media_features": SQL_MEDIA_FEATURES,
+    "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
 }

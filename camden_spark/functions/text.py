@@ -8,6 +8,7 @@ document fingerprint is a single builtin xxhash64.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -83,28 +84,36 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
 
 def lang_id_udf() -> "F.pandas_udf":
     """Vectorized stopword-profile language classifier → 2-letter code or
-    'und'.  Deterministic; ties broken by language-code order."""
+    'und'.  Deterministic; ties broken by language-code order (later code
+    wins, i.e. max over (count, code)).
+
+    Fully vectorized: per-language stopword hits are one ``Series.str.count``
+    regex pass over the lowered batch — ``(?:^|\\s)(?:w1|w2|…)(?=\\s|$)``
+    counts exactly the whitespace-delimited tokens equal to a profile word
+    (no per-row Python, no token materialization).  zh additionally counts
+    profile characters anywhere in the raw text (zh has no spaces)."""
     langs = sorted(STOPWORDS)
-    profiles = {lg: frozenset(STOPWORDS[lg]) for lg in langs}
+    token_pats = {
+        lg: r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in STOPWORDS[lg])
+        + r")(?=\s|$)"
+        for lg in langs
+    }
+    zh_char_pat = "[" + "".join(STOPWORDS["zh"]) + "]"
 
     @F.pandas_udf(StringType())
     def lid(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
-            out = []
-            for t in texts:
-                if not isinstance(t, str) or not t.strip():
-                    out.append("und")
-                    continue
-                toks = t.lower().split()
-                # zh has no spaces: also scan characters
-                counts = {
-                    lg: sum(1 for tok in toks if tok in profiles[lg])
-                    for lg in langs
-                }
-                counts["zh"] += sum(1 for ch in t if ch in profiles["zh"])
-                best = max(langs, key=lambda lg: (counts[lg], lg))
-                out.append(best if counts[best] > 0 else "und")
-            yield pd.Series(out, dtype="object")
+            t = texts.fillna("").astype("object").astype(str)
+            lower = t.str.lower()
+            counts = pd.DataFrame(
+                {lg: lower.str.count(token_pats[lg]) for lg in langs}
+            )
+            counts["zh"] = counts["zh"] + t.str.count(zh_char_pat)
+            # max over (count, lang code): reversed column order makes idxmax
+            # (first max) pick the later code on ties
+            rev = counts[langs[::-1]]
+            best = rev.idxmax(axis=1)
+            yield best.where(rev.max(axis=1) > 0, "und").astype("object")
 
     return lid
 
