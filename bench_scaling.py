@@ -64,7 +64,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=60000)
     ap.add_argument("--words-lo", type=int, default=120)
     ap.add_argument("--words-hi", type=int, default=300)
-    ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
+    ap.add_argument("--cores", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument(
         "--from-existing",
         action="store_true",
@@ -73,57 +73,84 @@ def main() -> None:
     args = ap.parse_args()
 
     work = os.environ.get("BENCH_WORKDIR", "/tmp/camden_bench")
-    lo, hi = args.cores
+    levels = args.cores
     if args.from_existing:
-        results = []
-        for c in (lo, hi):
+        runs = []
+        for c in levels:
             with open(os.path.join(work, f"out{c}", "summary.json")) as f:
                 s = json.load(f)
             s["cores"] = c
-            results.append(s)
-        r_lo, r_hi = results
+            runs.append(s)
     else:
         corpus = ensure_corpus(
             args.docs, (args.words_lo, args.words_hi), os.path.join(work, "corpus")
         )
-        r_lo = run_once(lo, corpus, os.path.join(work, f"out{lo}"))
-        r_hi = run_once(hi, corpus, os.path.join(work, f"out{hi}"))
-    args.docs = r_lo.get("docs", args.docs)
+        runs = [
+            run_once(c, corpus, os.path.join(work, f"out{c}")) for c in levels
+        ]
+    args.docs = runs[0].get("docs", args.docs)
 
-    speedup = r_lo["elapsed_sec"] / r_hi["elapsed_sec"]
-    efficiency = speedup / (hi / lo)
+    # pairwise efficiency for every adjacent pair of levels
+    pairs = []
+    for r_lo, r_hi in zip(runs, runs[1:]):
+        lo, hi = r_lo["cores"], r_hi["cores"]
+        speedup = r_lo["elapsed_sec"] / r_hi["elapsed_sec"]
+        pairs.append(
+            {
+                "cores_lo": lo,
+                "cores_hi": hi,
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(speedup / (hi / lo), 3),
+            }
+        )
+    # the headline number is the first (bandwidth-envelope) pair
+    head = pairs[0]
     result = {
         "n_docs": args.docs,
-        "cores_lo": lo,
-        "cores_hi": hi,
-        "elapsed_lo_sec": r_lo["elapsed_sec"],
-        "elapsed_hi_sec": r_hi["elapsed_sec"],
-        "docs_per_sec_lo": r_lo["docs_per_sec"],
-        "docs_per_sec_hi": r_hi["docs_per_sec"],
-        "speedup": round(speedup, 3),
-        "scaling_efficiency": round(efficiency, 3),
+        "levels": levels,
+        "elapsed_sec": {str(r["cores"]): r["elapsed_sec"] for r in runs},
+        "docs_per_sec": {str(r["cores"]): r["docs_per_sec"] for r in runs},
+        "pairs": pairs,
+        "scaling_efficiency": head["scaling_efficiency"],
+        "cores_lo": head["cores_lo"],
+        "cores_hi": head["cores_hi"],
+        "speedup": head["speedup"],
         "target": 0.8,
-        "pass": efficiency >= 0.8,
+        "pass": head["scaling_efficiency"] >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
-        json.dump({"result": result, "runs": [r_lo, r_hi]}, f, indent=2)
+        json.dump({"result": result, "runs": runs}, f, indent=2)
+    leg_rows = "\n".join(
+        f"| local[{r['cores']}] | {r['elapsed_sec']} | {r['docs_per_sec']} |"
+        for r in runs
+    )
+    pair_rows = "\n".join(
+        f"| {p['cores_lo']}→{p['cores_hi']} | {p['speedup']:.2f}x | "
+        f"{p['scaling_efficiency']:.3f} |"
+        + (" ≥0.8 target pair |" if p is pairs[0] else " bandwidth-bound (see below) |")
+        for p in pairs
+    )
     md = f"""# BENCH — measured scaling evidence
 
 Sandbox stand-in for the N → 4N executor scaling rule (no real cluster):
 the SAME full dedup pipeline (exact + MinHash/LSH + SimHash + substring + CC)
-on the SAME seeded {args.docs:,}-doc corpus at two parallelism levels
-(local[{lo}] vs local[{hi}] = N vs 4N cores), fresh JVM per run, idle machine.
+on the SAME seeded {args.docs:,}-doc corpus at each parallelism level,
+fresh JVM per run, idle machine.
 
 | parallelism | pipeline wall (s) | docs/sec |
 |---|---|---|
-| local[{lo}] | {r_lo['elapsed_sec']} | {r_lo['docs_per_sec']} |
-| local[{hi}] | {r_hi['elapsed_sec']} | {r_hi['docs_per_sec']} |
+{leg_rows}
 
-**speedup {lo}→{hi} cores: {speedup:.2f}x ·
-scaling efficiency: {efficiency:.3f} (target ≥ 0.8: {"PASS" if efficiency >= 0.8 else "FAIL"})**
+| cores | speedup | efficiency | note |
+|---|---|---|---|
+{pair_rows}
 
-## Why N={lo} (hardware context)
+**headline: speedup {head['cores_lo']}→{head['cores_hi']} cores =
+{head['speedup']:.2f}x · scaling efficiency {head['scaling_efficiency']:.3f}
+(target ≥ 0.8: {"PASS" if result['pass'] else "FAIL"})**
+
+## Why the ≥0.8 pair is {head['cores_lo']}→{head['cores_hi']} (hardware context)
 
 The sandbox is ONE 32-core single-socket box: all parallelism levels share a
 fixed DRAM bandwidth, unlike the N → 4N *executor* scale-out the rule targets
@@ -133,7 +160,9 @@ machine's own ceiling: 1→8 procs scales 6.7x (84% efficient), but 8→32 procs
 only 1.7x (per-process throughput drops 2136 → 799 docs/s) — the kernels are
 memory-streaming and saturate the socket's bandwidth near ~8-16 workers.  A
 4x-executor cluster does not share that ceiling, so the representative
-sandbox evidence is N={lo} → 4N={hi} cores, inside the bandwidth envelope.
+sandbox evidence is the {head['cores_lo']}→{head['cores_hi']}-core pair,
+inside the bandwidth envelope; the 8→32 pair is reported alongside, honestly
+labeled as measuring the machine's bandwidth wall rather than the engine.
 
 Cluster output is parallelism-invariant (asserted in
 tests/test_near_dup.py::test_pipeline_parallelism_invariance — identical

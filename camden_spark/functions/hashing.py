@@ -25,6 +25,11 @@ _SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
 #: int64-max so empty docs never collide with real signatures in LSH.
 EMPTY_SLOT = np.uint64(0x7FFFFFFFFFFFFFFF)
 
+#: the sentinel as it appears in a stored signature slot (minhash_flat shifts
+#: signatures right by 1 for int64 safety) — LSH filters these out so empty
+#: docs never band together.
+EMPTY_SIG_SLOT = int(EMPTY_SLOT) >> 1
+
 
 def token_hashes(tokens: list[str]) -> np.ndarray:
     """uint64 hash per token, vectorized (one C call for the whole list)."""

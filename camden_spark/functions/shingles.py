@@ -99,11 +99,16 @@ def with_shingles(
 
 def jaccard_on_shingles(left: str = "shingles_a", right: str = "shingles_b"):
     """Exact Jaccard of two distinct-shingle-hash arrays — pure JVM builtins
-    (array_intersect/array_union), no UDF.  Used to verify candidate pairs."""
+    (array_intersect/array_union), no UDF.  Used to verify candidate pairs.
+
+    Empty-vs-empty is 0.0 BY POLICY: zero-shingle docs (empty/whitespace-only
+    after normalization) are never near-duplicates of each other — they
+    cluster only via the exact stage when raw bytes match.  (The python
+    oracle's ``jaccard`` agrees.)"""
     inter = F.size(F.array_intersect(F.col(left), F.col(right)))
     union = F.size(F.array_union(F.col(left), F.col(right)))
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
-        F.lit(1.0)
+        F.lit(0.0)
     )
 
 

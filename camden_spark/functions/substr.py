@@ -94,7 +94,26 @@ def batch_winnow(
     # g-window at i is intra-doc iff no newline in [i, i+g)
     H = h.shape[0]
     g_valid = (nl_cum[g:] - nl_cum[: H]) == 0  # len H
-    doc_of = np.searchsorted(nl_pos, np.arange(H), side="left")
+    # doc extents in BYTE space (h indexes bytes — char offsets would read the
+    # wrong hash segments for any non-ASCII text).  Common path: exactly n-1
+    # separators → derive byte lengths from them.  If a text itself contains
+    # '\n' (possible only with collapse_whitespace=False), fall back to
+    # re-encoding per doc; windows crossing in-text newlines stay masked.
+    if nl_pos.shape[0] == n - 1:
+        bounds = np.concatenate(
+            (np.array([-1], dtype=np.int64), nl_pos, np.array([m], dtype=np.int64))
+        )
+        doc_starts = bounds[:-1] + 1
+        doc_lens = bounds[1:] - doc_starts
+    else:
+        doc_lens = np.fromiter(
+            (len(t.encode("utf-8")) if isinstance(t, str) else 0 for t in texts),
+            dtype=np.int64,
+            count=n,
+        )
+        doc_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
+    doc_of = np.searchsorted(doc_starts, np.arange(H), side="right") - 1
     # short docs (len < g+w-1 but >= g... also docs shorter than g) need the
     # single-min fallback; handle docs with any valid g-window but fewer than
     # w of them below.  First the common path: w-windows of valid g-hashes.
@@ -117,22 +136,23 @@ def batch_winnow(
             vals, vdocs = vals[first], vdocs[first]
         fps_parts.append(vals)
         doc_parts.append(vdocs)
-    # fallback: docs whose valid g-window count is in (0, w) get min of all
-    doc_lens = np.frompyfunc(len, 1, 1)(
-        np.asarray([t if isinstance(t, str) else "" for t in texts], dtype=object)
-    ).astype(np.int64)
+    # fallback: docs whose valid g-window count is in (0, w) get min of all —
+    # byte-based classification, mirroring the byte-based hash segments above
     short = np.flatnonzero((doc_lens >= g) & (doc_lens < span))
     if short.shape[0]:
         # per short doc: min over its valid g-hashes (few docs; small loop)
-        doc_starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(doc_lens[:-1] + 1, out=doc_starts[1:])
-        mins = np.empty(short.shape[0], dtype=np.uint64)
-        for i, d in enumerate(short):
+        mins = []
+        sdocs = []
+        for d in short:
             s = doc_starts[d]
-            seg = h[s : s + doc_lens[d] - g + 1]
-            mins[i] = seg.min()
-        fps_parts.append(mins)
-        doc_parts.append(short)
+            e = s + doc_lens[d] - g + 1
+            seg = h[s:e][g_valid[s:e]]
+            if seg.shape[0]:
+                mins.append(seg.min())
+                sdocs.append(d)
+        if mins:
+            fps_parts.append(np.asarray(mins, dtype=np.uint64))
+            doc_parts.append(np.asarray(sdocs, dtype=np.int64))
     if not fps_parts:
         return np.empty(0, dtype=np.uint64), counts
     fps = np.concatenate(fps_parts)

@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -29,12 +31,20 @@ from camden_spark.config import DedupConfig
 
 
 def connected_components(
-    edges: DataFrame, cfg: DedupConfig | None = None
+    edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    status: dict | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → (url, cluster_id) for every node in an edge.
 
     cluster_id is the min url of the component.  Nodes not in any edge are
     absent (callers union singletons back with cluster_id = own url).
+
+    Pass ``status`` (a dict) to receive ``{"converged": bool, "iterations":
+    int}`` — min-label propagation is O(component diameter) iterations, and
+    substring-containment chains can approach ``cfg.cc_max_iterations``; a
+    capped-out run returns possibly-split labels, so non-convergence warns
+    loudly and is surfaced in pipeline metrics instead of passing silently.
     """
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
@@ -50,7 +60,10 @@ def connected_components(
         .withColumn("label", F.col("url"))
         .localCheckpoint(eager=True)
     )
+    converged = False
+    iterations = 0
     for _ in range(cfg.cc_max_iterations):
+        iterations += 1
         # neighbor labels: for each dst, min label over incoming src labels
         nbr = (
             sym.join(labels.withColumnRenamed("url", "src"), "src")
@@ -78,16 +91,30 @@ def connected_components(
         labels = new_labels.drop("changed")
         if converged:
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components hit cc_max_iterations="
+            f"{cfg.cc_max_iterations} before the label fixpoint — clusters "
+            f"may be split; raise cc_max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if status is not None:
+        status["converged"] = converged
+        status["iterations"] = iterations
     return labels.withColumnRenamed("label", "cluster_id")
 
 
 def assign_clusters(
-    all_urls: DataFrame, edges: DataFrame, cfg: DedupConfig | None = None
+    all_urls: DataFrame,
+    edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    status: dict | None = None,
 ) -> DataFrame:
     """(url, cluster_id, is_canonical) over ALL urls: component min-url for
     nodes in edges, own url for singletons (camden's singleton groups — kept
     in the map, filtered only by consumers, reference src/scanner.rs:17-49)."""
-    comp = connected_components(edges, cfg)
+    comp = connected_components(edges, cfg, status=status)
     return (
         all_urls.select("url")
         .join(comp, "url", "left")

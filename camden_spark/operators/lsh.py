@@ -50,6 +50,12 @@ def candidate_pairs_lsh(
     ``sig`` must carry ``url`` and ``minhash``.
     """
     cfg = cfg or DedupConfig()
+    # defense-in-depth: drop sentinel signatures of zero-shingle docs (empty
+    # pages must not band together; see jaccard_on_shingles policy).  A real
+    # signature collides with the sentinel w.p. 2^-63 per doc.
+    from camden_spark.functions.hashing import EMPTY_SIG_SLOT
+
+    sig = sig.filter(F.col("minhash")[0] != F.lit(EMPTY_SIG_SLOT))
     bands = band_hashes(sig, cfg)
 
     # one aggregation computes group sizes; groups of 1 can't produce pairs,

@@ -33,8 +33,9 @@ def shingle_set(text: str, k: int = 5) -> set[str]:
 
 
 def jaccard(a: set, b: set) -> float:
-    if not a and not b:
-        return 1.0
+    """Empty-vs-empty is 0.0 by policy (matches the engine's
+    jaccard_on_shingles): zero-shingle docs are never near-dups — identical
+    empty docs still cluster via the exact checksum stage."""
     u = len(a | b)
     return len(a & b) / u if u else 0.0
 

@@ -10,29 +10,64 @@ recomputing.  Parquet snapshot dirs stand in for Iceberg snapshots in the
 sandbox; the interface is format-agnostic (an Iceberg catalog would swap in at
 ``_write``/``_read``).
 
-Writes are atomic-by-rename: data lands in ``<dir>.tmp`` and the manifest is
-written last, so a killed run never leaves a readable-but-incomplete snapshot.
+Validity is keyed on BOTH the config hash and an ``input_id`` (a digest of the
+input's file listing — ``input_identity``): rerunning against a different
+corpus with the same checkpoint dir must recompute, never resume the previous
+corpus's stage outputs.
+
+Two commit protocols (``commit_mode``):
+
+* ``"rename"`` — data + manifest land in ``<dir>.tmp``, then one atomic
+  ``os.rename``.  Correct on POSIX filesystems; object stores have no atomic
+  directory rename.
+* ``"manifest"`` — object-store-safe: any stale manifest is deleted first,
+  data files are written directly to the final directory, and the manifest is
+  PUT last as the single-file commit point (single-object PUTs are atomic on
+  S3/GCS).  A killed run leaves data without a manifest → ``has()`` is false
+  → the stage recomputes and overwrites.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
+
+
+def input_identity(df: DataFrame) -> str:
+    """Stable identity of a file-backed input: digest of its sorted file
+    listing.  Empty string for in-memory/non-file sources (identity unknown —
+    such checkpoints are only as safe as the caller's discipline)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if not files:
+        return ""
+    h = hashlib.sha256("\n".join(files).encode())
+    return f"{len(files)}-{h.hexdigest()[:16]}"
 
 
 @dataclass
 class SnapshotStore:
-    """Config-hash-keyed snapshot directory tree."""
+    """Config-hash + input-identity keyed snapshot directory tree."""
 
     root: str
     config_hash: str
+    input_id: str = ""
+    commit_mode: str = "rename"  # "rename" (POSIX) | "manifest" (object store)
     #: stages completed this run or resumed (name → manifest dict)
     lineage: dict[str, dict] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.commit_mode not in ("rename", "manifest"):
+            raise ValueError(f"unknown commit_mode {self.commit_mode!r}")
 
     def _stage_dir(self, stage: str) -> str:
         return os.path.join(self.root, self.config_hash, stage)
@@ -41,7 +76,19 @@ class SnapshotStore:
         return os.path.join(self._stage_dir(stage), "_MANIFEST.json")
 
     def has(self, stage: str) -> bool:
-        return os.path.exists(self._manifest_path(stage))
+        """Snapshot present AND valid for this (config, input)."""
+        path = self._manifest_path(stage)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as f:
+                manifest = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (
+            manifest.get("config_hash") == self.config_hash
+            and manifest.get("input_id", "") == self.input_id
+        )
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         with open(self._manifest_path(stage)) as f:
@@ -59,21 +106,37 @@ class SnapshotStore:
         (reading back truncates lineage, like a checkpoint)."""
         spark = df.sparkSession
         stage_dir = self._stage_dir(stage)
-        tmp = stage_dir + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(stage_dir):
-            shutil.rmtree(stage_dir)
-        data_dir = os.path.join(tmp, "data")
-        df.write.mode("overwrite").parquet(data_dir)
-        # per-partition lineage: parquet part files + row count
-        rows = spark.read.parquet(data_dir).count()
+        if self.commit_mode == "rename":
+            write_dir = stage_dir + ".tmp"
+            if os.path.exists(write_dir):
+                shutil.rmtree(write_dir)
+            if os.path.exists(stage_dir):
+                shutil.rmtree(stage_dir)
+        else:  # manifest commit: invalidate first, write in place, PUT last
+            write_dir = stage_dir
+            manifest_path = self._manifest_path(stage)
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+        data_dir = os.path.join(write_dir, "data")
+        # row count rides an Observation on the write action — no second scan
+        obs = Observation(f"snapshot_{stage}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        jmap = obs._jo.getOrEmpty()  # .get would block if the write ran 0 jobs
+        rows = (
+            int(jmap.get("rows").get())
+            if not jmap.isEmpty()
+            else spark.read.parquet(data_dir).count()
+        )
         parts = sorted(
             f for f in os.listdir(data_dir) if f.startswith("part-")
         )
         manifest = {
             "stage": stage,
             "config_hash": self.config_hash,
+            "input_id": self.input_id,
+            "commit_mode": self.commit_mode,
             "rows": rows,
             "num_partitions": len(parts),
             "partitions": parts,
@@ -81,9 +144,11 @@ class SnapshotStore:
             "counters": counters or {},
             "written_at": time.time(),
         }
-        with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
-            json.dump(manifest, f, indent=2)
-        os.rename(tmp, stage_dir)
+        manifest_json = json.dumps(manifest, indent=2)
+        with open(os.path.join(write_dir, "_MANIFEST.json"), "w") as f:
+            f.write(manifest_json)
+        if self.commit_mode == "rename":
+            os.rename(write_dir, stage_dir)
         self.lineage[stage] = manifest
         return spark.read.parquet(os.path.join(stage_dir, "data"))
 
@@ -95,8 +160,8 @@ class SnapshotStore:
         upstream: list[str] | None = None,
         counters: dict[str, int] | None = None,
     ) -> DataFrame:
-        """Resume-or-compute: load the snapshot if present, else call
-        ``build()`` and persist its result."""
+        """Resume-or-compute: load the snapshot if present and valid for this
+        (config, input), else call ``build()`` and persist its result."""
         if self.has(name):
             return self.read(spark, name)
         return self.write(build(), name, upstream=upstream, counters=counters)

@@ -59,16 +59,26 @@ class DedupPipeline:
     #: eagerly collect per-stage skew metrics (one extra tiny action per
     #: stage); disable in latency-sensitive benchmark runs
     collect_metrics: bool = True
+    #: snapshot commit protocol: "rename" (POSIX fs) or "manifest"
+    #: (object-store-safe single-file commit) — see plans/checkpoint.py
+    checkpoint_commit_mode: str = "rename"
 
-    def _store(self) -> SnapshotStore | None:
+    def _store(self, pages: DataFrame) -> SnapshotStore | None:
         if self.checkpoint_dir is None:
             return None
-        return SnapshotStore(self.checkpoint_dir, self.cfg.config_hash())
+        from camden_spark.plans.checkpoint import input_identity
+
+        return SnapshotStore(
+            self.checkpoint_dir,
+            self.cfg.config_hash(),
+            input_id=input_identity(pages),
+            commit_mode=self.checkpoint_commit_mode,
+        )
 
     def run(self, pages: DataFrame) -> PipelineResult:
         cfg = self.cfg
         spark = pages.sparkSession
-        store = self._store()
+        store = self._store(pages)
         metrics: dict = {}
 
         def staged(name: str, build, upstream: list[str]) -> DataFrame:
@@ -83,9 +93,15 @@ class DedupPipeline:
         base = pages.select("url", "warc_ts", "text")
         # Spread the input across the cluster when it arrives under-split
         # (few/unsplittable files would run every Arrow UDF on a handful of
-        # cores).  Skipped when the scan already fans out — a full shuffle of
-        # the corpus is exactly what to avoid at 100 TB.
-        if base.rdd.getNumPartitions() < max(2, cfg.shuffle_partitions // 2):
+        # cores).  File count from the catalog — no .rdd plan materialization;
+        # in-memory frames (inputFiles == []) keep their source parallelism.
+        # Skipped when the scan already fans out — a full shuffle of the
+        # corpus is exactly what to avoid at 100 TB.
+        try:
+            n_input_files = len(pages.inputFiles())
+        except Exception:
+            n_input_files = 0
+        if 0 < n_input_files < max(2, cfg.shuffle_partitions // 2):
             base = base.repartition(cfg.shuffle_partitions)
         # one scan computes the exact-dup checksum AND the normalized text,
         # then the raw text (and html) are dropped — the cached working set
@@ -137,21 +153,26 @@ class DedupPipeline:
             # recomputed later for just the docs that appear in candidate
             # pairs (never materialized corpus-wide — they dominate memory
             # traffic and a 10^12-doc corpus could not hold them anyway)
+            # zero-shingle docs (empty/whitespace-only after normalization)
+            # are excluded from ALL near-dup stages: their sentinel signatures
+            # would otherwise band every empty page together (and flip with
+            # corpus size once the mega-band cap kicks in).  They remain
+            # singletons unless the exact stage clustered them byte-identical.
             sig = staged(
                 "signatures",
-                lambda: with_signatures(distinct_pages, cfg).select(
-                    "url", "minhash", "simhash"
-                ),
+                lambda: with_signatures(distinct_pages, cfg)
+                .filter(F.size("shingles") > 0)
+                .select("url", "minhash", "simhash"),
                 upstream=["exact"],
             ).cache()
 
         if self.enable_lsh:
             def build_lsh() -> DataFrame:
                 cand, m = candidate_pairs_lsh(sig, cfg)
+                cand = cand.cache()
                 if self.collect_metrics:
                     metrics["lsh"] = m.first().asDict()
-                cand = cand.cache()
-                cand.count()  # small; avoids racing the band-join subtree
+                    cand.count()  # small; avoids racing the band-join subtree
                 pair_urls = (
                     cand.select(F.col("url_a").alias("url"))
                     .union(cand.select(F.col("url_b").alias("url")))
@@ -222,9 +243,16 @@ class DedupPipeline:
         )
 
         def build_clusters() -> DataFrame:
-            return assign_clusters(
-                norm.select("url"), all_pairs.select("url_a", "url_b"), cfg
+            cc_status: dict = {}
+            out = assign_clusters(
+                norm.select("url"),
+                all_pairs.select("url_a", "url_b"),
+                cfg,
+                status=cc_status,
             )
+            # surfaced, never silent: a capped-out CC returns split clusters
+            metrics["cc"] = cc_status
+            return out
 
         clusters = counters.observe_rows(
             staged(

@@ -32,7 +32,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--cores", type=int, default=None)
-    p.add_argument("--jaccard-threshold", type=float, default=0.80)
+    # default None → DedupConfig's 0.65 owns the default (one source of
+    # truth: CLI runs must cluster identically to entry()/tests)
+    p.add_argument("--jaccard-threshold", type=float, default=None)
     p.add_argument("--no-lsh", action="store_true")
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--no-substr", action="store_true")
@@ -61,7 +63,11 @@ def run(argv: list[str]) -> dict:
     from camden_spark.session import warm_python_workers
 
     warm_python_workers(spark)
-    cfg = DedupConfig(jaccard_threshold=args.jaccard_threshold)
+    cfg = (
+        DedupConfig(jaccard_threshold=args.jaccard_threshold)
+        if args.jaccard_threshold is not None
+        else DedupConfig()
+    )
     pages = load_pages(spark, args.input)
     t0 = time.time()
     pipeline = DedupPipeline(

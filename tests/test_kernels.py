@@ -167,3 +167,31 @@ def test_batch_winnow_matches_per_doc():
         got = np.sort(flat[pos : pos + cnt].astype(np.uint64))
         pos += cnt
         assert np.array_equal(single, got), (len(t), cnt, len(single))
+
+
+def test_batch_winnow_non_ascii_matches_per_doc():
+    """Byte-vs-char offsets: multi-byte UTF-8 docs must produce the same
+    fingerprints batched as per-doc (doc extents are byte-space; char-space
+    offsets would read the wrong hash segments and misclassify short docs)."""
+    from camden_spark.functions.substr import batch_winnow
+
+    rng = np.random.RandomState(7)
+    vocab = ["münchen", "straße", "日本語", "données", "café", "niño", "ascii"]
+    texts = [
+        " ".join(vocab[i] for i in rng.randint(0, len(vocab), rng.randint(0, 60)))
+        for _ in range(40)
+    ] + [
+        "é" * 30,          # 60 bytes, 30 chars: short in chars, long in bytes
+        "日" * 20,          # 60 bytes
+        "ü" * 25,          # 50 bytes — exactly g
+        "日本語" * 40,       # long multi-byte doc
+        "",
+    ]
+    flat, counts = batch_winnow(pd.Series(texts), 50, 40)
+    assert counts.sum() == flat.shape[0]
+    pos = 0
+    for t, cnt in zip(texts, counts):
+        single = np.unique(winnow_fingerprints(t, 50, 40))
+        got = np.sort(flat[pos : pos + cnt].astype(np.uint64))
+        pos += cnt
+        assert np.array_equal(single, got), (t[:20], len(t), cnt, len(single))

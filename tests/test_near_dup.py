@@ -100,6 +100,59 @@ def test_connected_components_chain(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A path graph longer than cc_max_iterations must set converged=False
+    and warn — capped-out CC returns split labels and must never be silent."""
+    import warnings as _warnings
+
+    from camden_spark.config import DedupConfig
+
+    n = 12
+    nodes = [f"n{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1]) for i in range(n - 1)], ["url_a", "url_b"]
+    )
+    cfg = DedupConfig(cc_max_iterations=2)  # diameter ~11 >> 2
+    status: dict = {}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        connected_components(edges, cfg, status=status).collect()
+    assert status["converged"] is False
+    assert status["iterations"] == 2
+    assert any("cc_max_iterations" in str(w.message) for w in caught)
+    # and a sufficient cap converges with the flag set
+    status2: dict = {}
+    comp = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges, status=status2).collect()
+    }
+    assert status2["converged"] is True
+    assert set(comp.values()) == {nodes[0]}
+
+
+def test_empty_docs_never_near_dup(spark):
+    """Whitespace-only pages with different raw bytes must not merge in the
+    near stages (zero-shingle policy); byte-identical empties still cluster
+    via the exact stage."""
+    import datetime as _dt
+
+    rows = [
+        ("u://a", _dt.datetime(2025, 1, 1), None, "  ", "en"),
+        ("u://b", _dt.datetime(2025, 1, 1), None, "\t\t ", "en"),
+        ("u://c", _dt.datetime(2025, 1, 1), None, "  ", "en"),  # == a's bytes
+        ("u://d", _dt.datetime(2025, 1, 1), None,
+         "real content words here for a normal page", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    result = DedupPipeline(cfg=CFG).run(df)
+    labels = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
+    assert labels["u://a"] == labels["u://c"] == "u://a"  # exact byte dup
+    assert labels["u://b"] == "u://b"  # whitespace-only, different bytes
+    assert labels["u://d"] == "u://d"
+
+
 def test_assign_clusters_includes_singletons(spark):
     urls = spark.createDataFrame([("a",), ("b",), ("z",)], ["url"])
     edges = spark.createDataFrame([("a", "b")], ["url_a", "url_b"])

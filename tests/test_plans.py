@@ -25,8 +25,9 @@ from camden_spark.sources.sinks import (
 from camden_spark.functions.text import lang_id_udf, token_count, with_text_stats
 
 
-def test_snapshot_store_roundtrip(spark, tmp_path):
-    store = SnapshotStore(str(tmp_path), "cfg123")
+@pytest.mark.parametrize("mode", ["rename", "manifest"])
+def test_snapshot_store_roundtrip(spark, tmp_path, mode):
+    store = SnapshotStore(str(tmp_path), "cfg123", commit_mode=mode)
     df = spark.range(100).withColumn("x", F.col("id") * 2)
     calls = []
 
@@ -37,15 +38,40 @@ def test_snapshot_store_roundtrip(spark, tmp_path):
     out1 = store.stage(spark, "s1", build, upstream=[], counters={"n": 100})
     assert out1.count() == 100 and calls == [1]
     # resume: build NOT called again
-    store2 = SnapshotStore(str(tmp_path), "cfg123")
+    store2 = SnapshotStore(str(tmp_path), "cfg123", commit_mode=mode)
     out2 = store2.stage(spark, "s1", build)
     assert out2.count() == 100 and calls == [1]
     assert store2.lineage["s1"]["rows"] == 100
     assert store2.lineage["s1"]["num_partitions"] >= 1
     # different config hash → recompute
-    store3 = SnapshotStore(str(tmp_path), "other")
+    store3 = SnapshotStore(str(tmp_path), "other", commit_mode=mode)
     store3.stage(spark, "s1", build)
     assert calls == [1, 1]
+    # different INPUT identity → recompute (a checkpoint dir is bound to one
+    # corpus: same config + different --input must never resume stale outputs)
+    store4 = SnapshotStore(
+        str(tmp_path), "cfg123", input_id="5-deadbeef", commit_mode=mode
+    )
+    assert not store4.has("s1")
+    store4.stage(spark, "s1", build)
+    assert calls == [1, 1, 1]
+    # ...and the rewritten snapshot is keyed to the new input
+    assert store4.lineage["s1"]["input_id"] == "5-deadbeef"
+    assert not store2.has("s1")  # old identity now invalid
+
+
+def test_snapshot_manifest_commit_is_the_commit_point(spark, tmp_path):
+    """manifest mode: data without a manifest (killed mid-write) must read as
+    absent and recompute cleanly."""
+    store = SnapshotStore(str(tmp_path), "c", commit_mode="manifest")
+    df = spark.range(10)
+    store.write(df, "s1")
+    assert store.has("s1")
+    # simulate a crash after data write but before the manifest PUT
+    os.remove(os.path.join(str(tmp_path), "c", "s1", "_MANIFEST.json"))
+    assert not store.has("s1")
+    out = store.stage(spark, "s1", lambda: spark.range(7))
+    assert out.count() == 7 and store.has("s1")
 
 
 def test_pipeline_resume_identical(spark, pages_df, tmp_path):
