@@ -198,3 +198,127 @@ def write_corpus(corpus: Corpus, out_dir: str) -> None:
     pages["warc_ts"] = pages["warc_ts"].astype("datetime64[us]")
     pages.to_parquet(f"{out_dir}/pages.parquet", index=False, row_group_size=2048)
     corpus.ground_truth.to_parquet(f"{out_dir}/ground_truth.parquet", index=False)
+
+
+# --------------------------------------------------------------------------
+# Media corpus: synthetic netpbm images + PCM WAV audio with planted
+# perceptual near-duplicates (exercises the REAL stdlib decode path in
+# multimodal.py — the reference deduped image FILES by checksum; the north
+# rule's generalization dedups by content similarity after decode).
+# --------------------------------------------------------------------------
+
+def _synth_image(rng: np.random.RandomState, size: int = 32) -> np.ndarray:
+    """Deterministic RGB test pattern: 2-D sinusoid mix + gradient, kept in
+    the [40, 215] mid-range so brightness-shifted near-dups never clip (a
+    clipped shift is a structural edit, not a photometric one)."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float64) / size
+    img = np.zeros((size, size, 3))
+    for c in range(3):
+        fx, fy = rng.uniform(1, 5, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        img[:, :, c] = (
+            0.5
+            + 0.25 * np.sin(2 * np.pi * (fx * x + fy * y) + ph)
+            + 0.25 * (x if c == 0 else y if c == 1 else (x + y) / 2)
+        )
+    lo, hi = img.min(), img.max()
+    return (40 + (img - lo) / max(hi - lo, 1e-9) * 175).astype(np.uint8)
+
+
+def _synth_wav(rng: np.random.RandomState, base: float, rate: int = 8000,
+               sec: float = 0.5, amp: float = 0.5) -> bytes:
+    """Deterministic PCM16 WAV: mix of 3 harmonics at the given base pitch."""
+    import io
+    import wave
+
+    t = np.arange(int(rate * sec)) / rate
+    s = sum(
+        rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * base * k * t)
+        for k in (1, 2, 3)
+    )
+    pcm = (np.clip(amp * s / 3, -1, 1) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def generate_media(
+    n_items: int = 60, seed: int = 42, dup_frac: float = 0.3
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """(media table, true near-dup pairs) with planted perceptual dups:
+    brightness-shifted / lightly-noised image copies, amplitude-scaled audio
+    copies — plus undecodable payloads (error-row semantics).
+
+    Columns match multimodal.MEDIA_SCHEMA.
+    """
+    from camden_spark.multimodal import encode_pnm
+
+    rng = np.random.RandomState(seed)
+    rows: list[dict] = []
+    true_pairs: list[tuple[int, int]] = []
+    mid = 0
+    used_pitches: list[float] = []
+
+    def fresh_pitch() -> float:
+        """Pitch ≥ 70 Hz away from every used one — keeps DISTINCT audio
+        items' spectral hashes well separated (band width ≈ 62 Hz)."""
+        for _ in range(200):
+            p = float(rng.uniform(100, 3000))
+            if all(abs(p - q) >= 70 for q in used_pitches):
+                used_pitches.append(p)
+                return p
+        raise RuntimeError("pitch space exhausted; lower n_items")
+
+    def add(media_type: str, payload: bytes) -> int:
+        nonlocal mid
+        rows.append(
+            {
+                "media_id": mid,
+                "url": f"media://{media_type}/{mid}",
+                "media_type": media_type,
+                "payload": payload,
+                "width": None,
+                "height": None,
+                "duration_ms": None,
+            }
+        )
+        mid += 1
+        return mid - 1
+
+    n_dup_sources = int(n_items * dup_frac) // 2
+    for i in range(n_dup_sources):
+        if i % 2 == 0:  # image pair: brightness shift + tiny noise
+            img = _synth_image(rng)
+            a = add("image", encode_pnm(img))
+            shifted = np.clip(
+                img.astype(np.int16) + rng.randint(3, 10), 0, 255
+            ).astype(np.uint8)
+            noise = rng.randint(-1, 2, img.shape).astype(np.int16)
+            dup = np.clip(shifted.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+            b = add("image", encode_pnm(dup))
+        else:  # audio pair: amplitude-scaled copy (spectral hash invariant)
+            pitch = fresh_pitch()
+            state = rng.get_state()
+            a = add("audio", _synth_wav(rng, pitch, amp=0.6))
+            rng.set_state(state)  # same harmonic mix, different gain
+            b = add("audio", _synth_wav(rng, pitch, amp=0.35))
+        true_pairs.append((a, b))
+
+    # undecodable payloads → ok=false error rows, never task failures
+    add("image", b"\x89PNG\r\n\x1a\n not actually decodable here")
+    add("audio", b"ID3 mp3-ish junk")
+    add("video", b"\x00\x00\x00 ftypisom")
+
+    while mid < n_items:  # distinct singletons
+        if rng.rand() < 0.5:
+            add("image", encode_pnm(_synth_image(rng)))
+        else:
+            add("audio", _synth_wav(rng, fresh_pitch()))
+
+    media = pd.DataFrame(rows)
+    pairs = pd.DataFrame(true_pairs, columns=["media_id_a", "media_id_b"])
+    return media, pairs

@@ -629,6 +629,63 @@ FROM m
 """
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode path, driver-verified end to end: synthesize
+    netpbm image payloads from doc_ids (pattern = doc_id % 25, brightness
+    shift = 3 * (doc_id // 25)), decode them with the stdlib PNM codec,
+    perceptual-hash (aHash), and pair via the pigeonhole Hamming join.
+
+    Brightness shifts leave the aHash bit-identical (block means all move
+    equally, no clipping — datagen keeps patterns in [40, 215]), so the pair
+    set is EXACTLY {(a, b): a ≡ b (mod 25)} with hamming 0, which the DuckDB
+    oracle states in closed form; the 25 base patterns sit ≥ 14 bits apart,
+    far outside the radius."""
+    from camden_spark.datagen import _synth_image
+    from camden_spark.multimodal import (
+        MEDIA_SCHEMA,
+        encode_pnm,
+        media_near_dup_pairs,
+    )
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = _synth_image(np.random.RandomState(did % 25))
+                img = np.clip(
+                    img.astype(np.int16) + 3 * (did // 25), 0, 255
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "url": f"media://img/{did}",
+                        "media_type": "image",
+                        "payload": encode_pnm(img),
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return media_near_dup_pairs(media)
+
+
+SQL_MEDIA_PHASH_PAIRS = """
+SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b, 0 AS hamming
+FROM documents a, documents b
+WHERE a.doc_id < 100 AND b.doc_id < 100
+  AND a.doc_id < b.doc_id AND a.doc_id % 25 = b.doc_id % 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # SQL-expressible (oracle-checked)
     "exact_dup_clusters": q_exact_dup_clusters,
@@ -645,6 +702,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
+    "media_phash_pairs": q_media_phash_pairs,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
@@ -670,5 +728,6 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
 }

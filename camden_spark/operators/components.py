@@ -12,8 +12,8 @@ Scale notes:
 * lineage is truncated every iteration with ``localCheckpoint`` — Catalyst
   cannot optimize across iterations and the plan would otherwise grow
   exponentially (SURVEY §4.2.3)
-* the convergence check is a single ``count`` of changed labels — one extra
-  job per iteration, on an already-checkpointed frame
+* the convergence check is an ``observe`` metric collected during the
+  checkpoint's own materialization job — zero extra jobs per iteration
 * labels are the string urls themselves: min(url) is simultaneously the
   cluster id AND the deterministic first-wins canonical member (camden keeps
   element 0 of each group, reference src/operations.rs:50 — ours is the
@@ -25,7 +25,7 @@ from __future__ import annotations
 import warnings
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 
 from camden_spark.config import DedupConfig
 
@@ -71,8 +71,10 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "url")
         )
-        # carry a `changed` flag so convergence needs no extra join: the
-        # check is a trivial scan of the just-checkpointed frame
+        # the convergence check rides the checkpoint's materialization job as
+        # an observed metric — zero extra jobs per iteration (vs a separate
+        # isEmpty/count action)
+        obs = Observation(f"cc_changed_{iterations}")
         new_labels = (
             labels.join(nbr, "url", "left")
             .select(
@@ -85,9 +87,19 @@ def connected_components(
                     & (F.col("nbr_label") < F.col("label"))
                 ).alias("changed"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("changed").cast("long")), F.lit(0)
+                ).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        converged = new_labels.filter(F.col("changed")).isEmpty()
+        jmap = obs._jo.getOrEmpty()  # .get would block if no action ran
+        if not jmap.isEmpty():
+            converged = int(jmap.get("changed").get()) == 0
+        else:  # defensive: metric not collected — fall back to a scan
+            converged = new_labels.filter(F.col("changed")).isEmpty()
         labels = new_labels.drop("changed")
         if converged:
             break
