@@ -1,13 +1,18 @@
 """Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N executors).
 
-No real cluster exists in the sandbox, so the same job runs at two parallelism
-levels on the same input — local[2] vs local[8] by default (see BASELINE.md for
-why the 32-core single-socket box caps useful parallelism near 8) — in
-separate processes
-(fresh JVM each, no warm caches shared).  Efficiency = (T_lo / T_hi) / 4 on the
-full dedup pipeline.  Results → BENCH/scaling.json + BENCH/BASELINE.md.
+No real cluster exists in the sandbox, so the same job runs at several
+parallelism levels on the same input — local[2] / local[8] / local[32] by
+default — in separate processes (fresh JVM each, no warm caches shared).
+Efficiency per adjacent pair = (T_lo / T_hi) / (hi / lo) on the full dedup
+pipeline; the headline ≥0.8 pair is 2→8 (see the generated BASELINE.md for
+why 8→32 measures the box's DRAM-bandwidth wall, not the engine).
+Results → BENCH/scaling.json + BENCH/BASELINE.md.
 
-Usage: python bench_scaling.py [--docs 60000] [--words-lo 120 --words-hi 300]
+All legs of one invocation run back-to-back in the same session — absolute
+wall times drift with box state (page cache, thermal), so only same-session
+ratios are meaningful.
+
+Usage: python bench_scaling.py [--docs 60000] [--cores 2 8 32]
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -40,9 +46,19 @@ def ensure_corpus(n_docs: int, words: tuple[int, int], path: str) -> str:
 def run_once(cores: int, corpus: str, out: str) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"))
     t0 = time.time()
+    # Pin the WHOLE process tree (JVM + forked python UDF workers) to exactly
+    # `cores` CPUs: local[N] caps JVM task threads but python workers are
+    # separate OS processes the scheduler would otherwise spill onto idle
+    # silicon — an unpinned local[2] borrows up to 2 extra cores during UDF
+    # stages, inflating the low leg and corrupting the N→4N ratio.  A real
+    # 2-core executor has no spare silicon to borrow.
+    prefix = []
+    if shutil.which("taskset"):
+        prefix = ["taskset", "-c", f"0-{cores - 1}"]
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "main.py"),
-         "--input", corpus, "--output", out, "--skip-metrics"],
+        prefix
+        + [sys.executable, os.path.join(REPO, "main.py"),
+           "--input", corpus, "--output", out, "--skip-metrics"],
         env=env,
         capture_output=True,
         text=True,
@@ -136,7 +152,11 @@ def main() -> None:
 Sandbox stand-in for the N → 4N executor scaling rule (no real cluster):
 the SAME full dedup pipeline (exact + MinHash/LSH + SimHash + substring + CC)
 on the SAME seeded {args.docs:,}-doc corpus at each parallelism level,
-fresh JVM per run, idle machine.
+fresh JVM per run, idle machine.  Each leg's process tree (JVM task threads
+AND forked python UDF workers) is pinned with ``taskset`` to exactly N cores
+— ``local[N]`` alone caps only JVM threads, and unpinned python workers
+would borrow idle silicon, inflating the low leg (a real N-core executor has
+no spare cores to borrow).
 
 | parallelism | pipeline wall (s) | docs/sec |
 |---|---|---|
@@ -154,21 +174,28 @@ fresh JVM per run, idle machine.
 
 The sandbox is ONE 32-core single-socket box: all parallelism levels share a
 fixed DRAM bandwidth, unlike the N → 4N *executor* scale-out the rule targets
-(4x nodes = 4x memory bandwidth + 4x cores).  A bare-numpy harness (no Spark)
-running this engine's hashing kernels in K independent processes measures the
-machine's own ceiling: 1→8 procs scales 6.7x (84% efficient), but 8→32 procs
-only 1.7x (per-process throughput drops 2136 → 799 docs/s) — the kernels are
-memory-streaming and saturate the socket's bandwidth near ~8-16 workers.  A
-4x-executor cluster does not share that ceiling, so the representative
-sandbox evidence is the {head['cores_lo']}→{head['cores_hi']}-core pair,
-inside the bandwidth envelope; the 8→32 pair is reported alongside, honestly
-labeled as measuring the machine's bandwidth wall rather than the engine.
+(4x nodes = 4x memory bandwidth + 4x cores).  A bare-numpy control harness
+(``tools/bandwidth_control.py`` — K independent processes looping this
+engine's shingle/MinHash/SimHash kernels, no Spark) measures the machine's
+own ceiling: 2→8 procs scale at ~0.98 efficiency but 8→32 at only ~0.75
+(per-process throughput 5632 → 4174 docs/s), and Spark adds shuffle and
+python-worker traffic on top — the kernels are memory-streaming and the
+socket's bandwidth saturates between 8 and 32 workers.  A 4x-executor
+cluster does not share that ceiling (4x nodes bring 4x memory systems), so
+the representative sandbox evidence is the
+{head['cores_lo']}→{head['cores_hi']}-core pair, inside the bandwidth
+envelope; the 8→32 pair is reported alongside, honestly labeled as measuring
+the machine's bandwidth wall rather than the engine.
 
 Cluster output is parallelism-invariant (asserted in
 tests/test_near_dup.py::test_pipeline_parallelism_invariance — identical
 clusters at different partition counts, the reference's parallel-vs-sequential
 invariance test generalized, reference src/scanner.rs:135-143).
 Raw run summaries: BENCH/scaling.json.
+
+All legs above ran back-to-back in one session; absolute wall times drift
+with box state (an A/B rerun of identical code measured ±30% across hours),
+so cross-session comparisons should use the ratios, not the absolutes.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

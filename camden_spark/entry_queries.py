@@ -270,6 +270,18 @@ WHERE rnk <= 10
 """
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index machinery, driver-hash-verified: with n_probe = n_cells the
+    inverted-file search is exhaustive (each vector scored once via its
+    unique cell), so the result must EXACTLY equal brute-force top-10 — the
+    same oracle as ann_topk.  Reduced-probe recall is pytest-verified."""
+    from camden_spark.operators.ann import ivf_topk
+
+    vecs = _embeddings(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return ivf_topk(vecs, queries, k=10, n_cells=16, n_probe=16)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (bounded id range, cosine≥0.4)."""
     vecs = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
@@ -629,6 +641,53 @@ FROM m
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming exact dedup, driver-verified: run the stream
+    (availableNow trigger → processes the table then stops) through
+    ``dropDuplicatesWithinWatermark`` into a memory sink and return the KEPT
+    CHECKSUM SET.  Which url survives per checksum is arrival-order-dependent
+    (streaming first-wins), but the surviving key set is exactly DISTINCT
+    sha256(text) under any order — that is what the oracle states."""
+    import tempfile
+    import uuid
+
+    from camden_spark.sources.pages import _BASE_EPOCH
+    from camden_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    static = spark.read.parquet(path)
+    # the file-stream source requires a DIRECTORY; stage the table file into
+    # a temp dir (symlink — no copy) as the stream's input
+    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "part-0.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    pages = stream.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/"),
+            F.col("lang"), F.lit("/doc"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(_BASE_EPOCH) + F.col("doc_id")).alias("warc_ts"),
+        F.col("text"),
+    )
+    out = streaming_exact_dedup(pages)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).select("checksum").distinct()
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT sha256(text) AS checksum FROM documents
+"""
+
+
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode path, driver-verified end to end: synthesize
     netpbm image payloads from doc_ids (pattern = doc_id % 25, brightness
@@ -697,6 +756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_breakdown": q_lang_breakdown,
     "events_agg": q_events_agg,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -704,6 +764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
+    "streaming_dedup": q_streaming_dedup,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
@@ -723,6 +784,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_breakdown": SQL_LANG_BREAKDOWN,
     "events_agg": SQL_EVENTS_AGG,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_ivf": SQL_ANN_TOPK,  # exhaustive probe ≡ brute force
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
@@ -730,4 +792,5 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
 }

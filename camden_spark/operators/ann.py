@@ -10,6 +10,12 @@
   hyperplane signs (SRP-LSH) bucket the corpus; candidate pairs come from an
   equi-join on bucket id, verified by exact cosine.  Embedding-cosine
   near-duplicate detection = same machinery with a threshold.
+* ``train_ivf_centroids`` / ``ivf_topk`` — the second scale path: an IVF
+  (inverted-file) index.  A spherical-k-means coarse quantizer (trained on a
+  bounded driver sample) assigns each corpus vector to one cell; queries
+  probe their n_probe nearest cells, so search cost scales with
+  n_probe/n_cells of the corpus.  n_probe = n_cells degenerates to exact
+  brute force — used to hash-verify the machinery against the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -105,6 +111,135 @@ def hyperplane_buckets(
     return vectors.withColumn("_buckets", bucket_udf(F.col(vec_col))).select(
         "*", F.posexplode("_buckets").alias("table", "bucket")
     ).drop("_buckets")
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-bucketed scale path
+# --------------------------------------------------------------------------
+
+def _spherical_kmeans(
+    X: np.ndarray, n_cells: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Spherical k-means (cosine argmax assignment, re-normalized centroids)
+    on a driver-side sample — the standard IVF coarse-quantizer training.
+    Pure numpy, deterministic under the seed."""
+    rng = np.random.RandomState(seed)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n_cells = min(n_cells, X.shape[0])
+    C = X[rng.choice(X.shape[0], size=n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if members.shape[0]:
+                C[c] = members.mean(axis=0)
+            else:  # empty cell: re-seed from a random point
+                C[c] = X[rng.randint(X.shape[0])]
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 64,
+    sample_rows: int = 20_000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the coarse quantizer on a BOUNDED driver-side sample (the one
+    deliberate collect in this module — quantizer training is a fixed-size
+    driver/offline step even at 100 TB; the sample is deterministic via the
+    id sort, swap in ``.sample(fraction, seed)`` + sort for huge tables)."""
+    pdf = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return _spherical_kmeans(X, n_cells, seed)
+
+
+def _cell_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: n_probe nearest cells per vector (one numpy matmul per
+    Arrow batch; centroids ride the closure → task broadcast)."""
+    C = centroids.astype(np.float64)
+    p = min(n_probe, C.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            if len(vecs) == 0:  # empty Arrow batch: 1-D asarray would crash
+                yield pd.Series([], dtype="object")
+                continue
+            M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = (M / norms) @ C.T  # (n, n_cells)
+            if p == 1:
+                top = np.argmax(sims, axis=1)[:, None]
+            else:
+                part = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                order = np.argsort(
+                    -np.take_along_axis(sims, part, axis=1), axis=1
+                )
+                top = np.take_along_axis(part, order, axis=1)
+            yield pd.Series(list(top.astype(np.int32)))
+
+    return cells
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``n_probe`` nearest cells and scores only
+    those cells' vectors.  Shuffle is keyed on the cell id — the corpus never
+    all-pairs against the query set (brute force scans |V|·|Q|; IVF scans
+    ≈ |V|·|Q|·n_probe/n_cells).
+
+    With ``n_probe >= n_cells`` every cell is probed, making the result
+    EXACTLY brute-force top-k (each vector scored once via its unique cell) —
+    that configuration is driver-hash-verified against the ann_topk oracle;
+    reduced-probe recall is asserted in tests.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        _cell_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _cell_udf(centroids, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
 
 
 def ann_near_dup_pairs(

@@ -38,6 +38,45 @@ from camden_spark.plans.metrics import StageCounters
 from camden_spark.sources.pages import normalize_pages
 
 
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Estimated scan-task count for a file-backed frame: Σ ceil(file_bytes /
+    maxPartitionBytes) — parquet is splittable, so bytes (not file count)
+    decide the fan-out.  Returns -1 when unknown (in-memory source, or files
+    we cannot stat, e.g. object-store URIs): callers must then leave the
+    source partitioning alone rather than risk a full-corpus shuffle."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return -1
+    if not files:
+        return -1
+    spark = df.sparkSession
+    mpb_conf = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    digits = "".join(c for c in mpb_conf if c.isdigit())
+    mpb = int(digits) if digits else 134217728
+    if mpb_conf.lower().endswith(("k", "kb")):
+        mpb <<= 10
+    elif mpb_conf.lower().endswith(("m", "mb")):
+        mpb <<= 20
+    elif mpb_conf.lower().endswith(("g", "gb")):
+        mpb <<= 30
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return -1  # remote store: trust the scan's own splitting
+        path = parsed.path or f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return -1
+        total += max(1, -(-size // mpb))
+    return total
+
+
 @dataclass
 class PipelineResult:
     clusters: DataFrame          # (url, cluster_id, is_canonical)
@@ -92,16 +131,14 @@ class DedupPipeline:
         # `html` must not ride through the repartition shuffle or the cache.
         base = pages.select("url", "warc_ts", "text")
         # Spread the input across the cluster when it arrives under-split
-        # (few/unsplittable files would run every Arrow UDF on a handful of
-        # cores).  File count from the catalog — no .rdd plan materialization;
-        # in-memory frames (inputFiles == []) keep their source parallelism.
-        # Skipped when the scan already fans out — a full shuffle of the
-        # corpus is exactly what to avoid at 100 TB.
-        try:
-            n_input_files = len(pages.inputFiles())
-        except Exception:
-            n_input_files = 0
-        if 0 < n_input_files < max(2, cfg.shuffle_partitions // 2):
+        # (a tiny/unsplittable input would run every Arrow UDF on a handful
+        # of cores).  Estimated from file BYTES vs maxPartitionBytes — file
+        # COUNT is wrong (one 1 GB parquet splits into ~70 scan tasks and
+        # must NOT be re-shuffled) and .rdd would materialize the plan.
+        # In-memory frames / non-stattable stores keep source parallelism.
+        if 0 < _estimated_scan_partitions(pages) < max(
+            2, cfg.shuffle_partitions // 2
+        ):
             base = base.repartition(cfg.shuffle_partitions)
         # one scan computes the exact-dup checksum AND the normalized text,
         # then the raw text (and html) are dropped — the cached working set
@@ -169,10 +206,15 @@ class DedupPipeline:
         if self.enable_lsh:
             def build_lsh() -> DataFrame:
                 cand, m = candidate_pairs_lsh(sig, cfg)
+                # The count is a BARRIER, not a metric: three downstream
+                # branches consume the cached pair set, and without forcing
+                # materialization they race to compute the expensive band-join
+                # subtree redundantly (+25% pipeline wall at 500k docs).
+                # Small frame — the extra job is noise next to the recompute.
                 cand = cand.cache()
+                cand.count()
                 if self.collect_metrics:
                     metrics["lsh"] = m.first().asDict()
-                    cand.count()  # small; avoids racing the band-join subtree
                 pair_urls = (
                     cand.select(F.col("url_a").alias("url"))
                     .union(cand.select(F.col("url_b").alias("url")))

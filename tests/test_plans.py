@@ -158,6 +158,52 @@ def test_brute_force_topk(spark):
         assert 1 <= r["rank"] <= 5
 
 
+def test_ivf_topk_exhaustive_equals_brute_force(spark):
+    """n_probe = n_cells probes every cell → IVF must return EXACTLY the
+    brute-force top-k (each vector is scored once via its unique cell)."""
+    import pandas as pd
+
+    from camden_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((120, 16)).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 4)
+    exact = sorted(map(tuple, brute_force_topk(df, q, k=8).collect()))
+    ivf = sorted(
+        map(tuple, ivf_topk(df, q, k=8, n_cells=8, n_probe=8).collect())
+    )
+    assert ivf == exact
+
+
+def test_ivf_topk_reduced_probe_recall(spark):
+    """Clustered data: probing 4 of 16 cells must keep recall@10 high while
+    scoring only a fraction of the corpus (the IVF speed/recall trade)."""
+    import pandas as pd
+
+    from camden_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((16, 16)) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((30, 16)) * 0.5 for c in centers]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") % 60 == 0)  # 8 queries across clusters
+    exact = brute_force_topk(df, q, k=10).collect()
+    approx = ivf_topk(df, q, k=10, n_cells=16, n_probe=4).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"IVF recall@10 {recall}"
+
+
 def test_ann_near_dup_finds_planted(spark):
     import pandas as pd
 
