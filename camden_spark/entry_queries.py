@@ -510,6 +510,32 @@ FROM lab
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the brief asks for: whitespace tokens and
+    BPE-style pre-tokenizer pieces (functions/text.py:BPE_PIECE_PATTERN) —
+    all codegen builtins, exact DuckDB parity."""
+    from camden_spark.functions.text import bpe_piece_count, token_count
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        bpe_piece_count("text").alias("n_pieces_bpe"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+         AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text,
+            ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+         AS n_pieces_bpe
+FROM documents
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -760,6 +786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
+    "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
@@ -788,6 +815,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
+    "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,

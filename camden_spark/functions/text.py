@@ -118,6 +118,21 @@ def lang_id_udf() -> "F.pandas_udf":
     return lid
 
 
+#: BPE-style pre-tokenizer pattern (the GPT-2 pretokenizer's letter-run /
+#: number-run / punctuation-run split with optional leading space, minus the
+#: contraction special-cases and whitespace tokens, which need lookahead —
+#: RE2 (DuckDB oracle) has none).  Alternatives have disjoint first-char
+#: classes, so Java regex and RE2 tokenize identically.
+BPE_PIECE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_piece_count(col: str = "text") -> Column:
+    """Subword-piece count under the BPE-style pre-tokenizer — the token
+    budget a BPE tokenizer's merge phase starts from (each piece splits into
+    ≥1 BPE tokens).  Pure codegen builtin (``regexp_count``)."""
+    return F.regexp_count(F.col(col), F.lit(BPE_PIECE_PATTERN)).cast("long")
+
+
 def doc_fingerprint(col: str = "text") -> Column:
     """64-bit whole-document fingerprint — builtin xxhash64 (seed 42)."""
     return F.xxhash64(F.col(col)).alias("fingerprint")
