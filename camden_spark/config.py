@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import json
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 #: Mersenne prime 2^61 - 1: modulus for the universal-hash family used by
 #: MinHash permutations.  Fits in uint64 with headroom for mod arithmetic.

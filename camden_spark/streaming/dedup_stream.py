@@ -14,7 +14,6 @@ watermark bounds how late a duplicate can arrive and still be suppressed).
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from camden_spark.config import DedupConfig
