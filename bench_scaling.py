@@ -72,6 +72,10 @@ def run_once(cores: int, corpus: str, out: str) -> dict:
         summary = json.load(f)
     summary["wall_sec_incl_startup"] = round(wall, 1)
     summary["cores"] = cores
+    summary["pinned"] = bool(prefix)
+    # persist the merged summary so --from-existing keeps the pin flag
+    with open(os.path.join(out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
     return summary
 
 
@@ -93,10 +97,17 @@ def main() -> None:
     if args.from_existing:
         runs = []
         for c in levels:
-            with open(os.path.join(work, f"out{c}", "summary.json")) as f:
+            p = os.path.join(work, f"out{c}", "summary.json")
+            if not os.path.exists(p):  # older workdirs may lack some legs
+                print(f"skipping local[{c}]: no {p}", file=sys.stderr)
+                continue
+            with open(p) as f:
                 s = json.load(f)
             s["cores"] = c
             runs.append(s)
+        if len(runs) < 2:
+            raise SystemExit("need at least two existing legs for a report")
+        levels = [r["cores"] for r in runs]
     else:
         corpus = ensure_corpus(
             args.docs, (args.words_lo, args.words_hi), os.path.join(work, "corpus")
@@ -121,9 +132,11 @@ def main() -> None:
         )
     # the headline number is the first (bandwidth-envelope) pair
     head = pairs[0]
+    all_pinned = all(r.get("pinned") for r in runs)
     result = {
         "n_docs": args.docs,
         "levels": levels,
+        "pinned": all_pinned,
         "elapsed_sec": {str(r["cores"]): r["elapsed_sec"] for r in runs},
         "docs_per_sec": {str(r["cores"]): r["docs_per_sec"] for r in runs},
         "pairs": pairs,
@@ -137,6 +150,18 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump({"result": result, "runs": runs}, f, indent=2)
+    pin_note = (
+        "Each leg's process tree (JVM task threads AND forked python UDF\n"
+        "workers) is pinned with ``taskset`` to exactly N cores — ``local[N]``\n"
+        "alone caps only JVM threads, and unpinned python workers would borrow\n"
+        "idle silicon, inflating the low leg (a real N-core executor has no\n"
+        "spare cores to borrow)."
+        if all_pinned
+        else "WARNING: legs ran UNPINNED (taskset unavailable or pin flag\n"
+        "missing) — python UDF workers may have borrowed idle cores beyond\n"
+        "local[N], so the low-parallelism legs are optimistic and the\n"
+        "efficiency below is a LOWER bound on nothing; treat with caution."
+    )
     leg_rows = "\n".join(
         f"| local[{r['cores']}] | {r['elapsed_sec']} | {r['docs_per_sec']} |"
         for r in runs
@@ -152,11 +177,7 @@ def main() -> None:
 Sandbox stand-in for the N → 4N executor scaling rule (no real cluster):
 the SAME full dedup pipeline (exact + MinHash/LSH + SimHash + substring + CC)
 on the SAME seeded {args.docs:,}-doc corpus at each parallelism level,
-fresh JVM per run, idle machine.  Each leg's process tree (JVM task threads
-AND forked python UDF workers) is pinned with ``taskset`` to exactly N cores
-— ``local[N]`` alone caps only JVM threads, and unpinned python workers
-would borrow idle silicon, inflating the low leg (a real N-core executor has
-no spare cores to borrow).
+fresh JVM per run, idle machine.  {pin_note}
 
 | parallelism | pipeline wall (s) | docs/sec |
 |---|---|---|

@@ -59,6 +59,29 @@ _PUNCT_SQL = r"""'[.,!?;:''"()\[\]{}<>/@#$%^&*_+=~`|\\-]'"""
 _DIGIT_SQL = "'[0-9]'"
 
 
+def _word_5gram_shingles(toks_col: str = "t"):
+    """Distinct word-5-gram shingles of a token-array column — the exact
+    semantics the MinHash/LSH stage approximates; shared by ngram_jaccard
+    and near_dup_clusters_exact so the two oracles can never drift apart."""
+    t = F.col(toks_col)
+    return F.array_distinct(
+        F.when(F.size(t) < 5, F.array(F.array_join(t, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 4),
+                lambda i: F.array_join(F.slice(t, i, 5), " "),
+            )
+        )
+    )
+
+
+#: DuckDB mirror of _word_5gram_shingles over a token-array column ``t``
+#: (1-based inclusive list slicing: t[i:i+4] is 5 elements)
+_SHINGLES_5GRAM_SQL = """CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' ')))
+         END"""
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -316,19 +339,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     )
-    sh = toks.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(
-                F.size("t") < 5, F.array(F.array_join("t", " "))
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 4),
-                    lambda i: F.array_join(F.slice("t", i, 5), " "),
-                )
-            )
-        ).alias("shingles"),
-    )
+    sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
     return (
@@ -345,17 +356,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = r"""
+SQL_NGRAM_JACCARD = rf"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
   FROM documents WHERE doc_id < 40
 ),
 sh AS (
   SELECT doc_id,
-         CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
-              ELSE list_distinct(list_transform(range(1, len(t) - 3),
-                     i -> array_to_string(t[i:i+4], ' ')))
-         END AS shingles
+         {_SHINGLES_5GRAM_SQL} AS shingles
   FROM toks
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -442,19 +450,7 @@ def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         node.alias("url"), F.split(F.trim(F.lower("text")), r"\s+").alias("t")
     )
-    sh = toks.select(
-        "url",
-        F.array_distinct(
-            F.when(
-                F.size("t") < 5, F.array(F.array_join("t", " "))
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 4),
-                    lambda i: F.array_join(F.slice("t", i, 5), " "),
-                )
-            )
-        ).alias("shingles"),
-    )
+    sh = toks.select("url", _word_5gram_shingles("t").alias("shingles"))
     a = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sa"))
     b = sh.select(F.col("url").alias("url_b"), F.col("shingles").alias("sb"))
     edges = (
@@ -483,10 +479,7 @@ toks AS (
 ),
 sh AS (
   SELECT id,
-         CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
-              ELSE list_distinct(list_transform(range(1, len(t) - 3),
-                     i -> array_to_string(t[i:i+4], ' ')))
-         END AS shingles
+         {_SHINGLES_5GRAM_SQL} AS shingles
   FROM toks
 ),
 edges AS (
@@ -546,7 +539,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lang_id_oracle_sql() -> str:
     """DuckDB mirror of lang_id_udf, generated from the same STOPWORDS dict:
     token hits = whitespace tokens of lower(text) IN the profile; zh adds
-    per-char hits; argmax ties → later language code (checked zh-first)."""
+    per-char hits; argmax ties → later language code (checked zh-first).
+    Tokenization splits on the explicit ascii class ``[ \\t\\n\\f\\r]`` —
+    the same class lang_id_udf pins, because RE2's and Python's ``\\s``
+    disagree on Unicode whitespace."""
     from camden_spark.functions.text import STOPWORDS
 
     langs = sorted(STOPWORDS)
@@ -569,7 +565,7 @@ def _lang_id_oracle_sql() -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, lang, text,
-         regexp_split_to_array(lower(text), '\\s+') AS t
+         regexp_split_to_array(lower(text), '[ \\t\\n\\f\\r]+') AS t
   FROM documents
 ),
 c AS (
@@ -697,15 +693,26 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = streaming_exact_dedup(pages)
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt_dir = tempfile.mkdtemp(prefix="stream_ckpt_")
     q = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        # awaitTermination returns False on timeout WITHOUT raising — a
+        # partial memory sink would silently fail the oracle downstream
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_dedup did not finish within 300s")
+    finally:
+        import shutil
+
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(name).select("checksum").distinct()
 
 

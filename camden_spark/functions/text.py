@@ -87,14 +87,20 @@ def lang_id_udf() -> "F.pandas_udf":
     wins, i.e. max over (count, code)).
 
     Fully vectorized: per-language stopword hits are one ``Series.str.count``
-    regex pass over the lowered batch — ``(?:^|\\s)(?:w1|w2|…)(?=\\s|$)``
+    regex pass over the lowered batch — ``(?:^|WS)(?:w1|w2|…)(?=WS|$)``
     counts exactly the whitespace-delimited tokens equal to a profile word
     (no per-row Python, no token materialization).  zh additionally counts
-    profile characters anywhere in the raw text (zh has no spaces)."""
+    profile characters anywhere in the raw text (zh has no spaces).
+
+    The delimiter class is the EXPLICIT ascii set ``[ \\t\\n\\f\\r]`` rather
+    than ``\\s``: Python's ``\\s`` is Unicode-aware (NBSP, ideographic space)
+    while the DuckDB oracle's RE2 ``\\s`` is ascii-only — pinning the class on
+    both sides keeps the oracle byte-exact on any input."""
     langs = sorted(STOPWORDS)
+    ws = r"[ \t\n\f\r]"
     token_pats = {
-        lg: r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in STOPWORDS[lg])
-        + r")(?=\s|$)"
+        lg: rf"(?:^|{ws})(?:" + "|".join(re.escape(w) for w in STOPWORDS[lg])
+        + rf")(?={ws}|$)"
         for lg in langs
     }
     zh_char_pat = "[" + "".join(STOPWORDS["zh"]) + "]"

@@ -40,17 +40,38 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
 
+#: bump when snapshot semantics change (e.g. a stage's dataflow is fixed) —
+#: old-version manifests are treated as absent, never resumed.
+MANIFEST_VERSION = 2
+
+
 def input_identity(df: DataFrame) -> str:
-    """Stable identity of a file-backed input: digest of its sorted file
-    listing.  Empty string for in-memory/non-file sources (identity unknown —
-    such checkpoints are only as safe as the caller's discipline)."""
+    """Stable identity of a file-backed input: digest of the sorted file
+    listing WITH per-file size and mtime — a corpus regenerated in place
+    under the same file names (datagen writes fixed names) must change the
+    identity.  Conservative by design: touching files forces a recompute.
+    Empty string for in-memory/non-file sources (identity unknown — such
+    checkpoints are only as safe as the caller's discipline)."""
+    import os as _os
+    from urllib.parse import urlparse
+
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
     if not files:
         return ""
-    h = hashlib.sha256("\n".join(files).encode())
+    h = hashlib.sha256()
+    for f in files:
+        parsed = urlparse(f)
+        path = parsed.path if parsed.scheme in ("", "file") else None
+        try:
+            st = _os.stat(path) if path else None
+        except OSError:
+            st = None
+        sig = f"{f}|{st.st_size}|{int(st.st_mtime)}" if st else f
+        h.update(sig.encode())
+        h.update(b"\n")
     return f"{len(files)}-{h.hexdigest()[:16]}"
 
 
@@ -86,7 +107,8 @@ class SnapshotStore:
         except (OSError, json.JSONDecodeError):
             return False
         return (
-            manifest.get("config_hash") == self.config_hash
+            manifest.get("version") == MANIFEST_VERSION
+            and manifest.get("config_hash") == self.config_hash
             and manifest.get("input_id", "") == self.input_id
         )
 
@@ -133,6 +155,7 @@ class SnapshotStore:
             f for f in os.listdir(data_dir) if f.startswith("part-")
         )
         manifest = {
+            "version": MANIFEST_VERSION,
             "stage": stage,
             "config_hash": self.config_hash,
             "input_id": self.input_id,

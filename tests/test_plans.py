@@ -60,6 +60,26 @@ def test_snapshot_store_roundtrip(spark, tmp_path, mode):
     assert not store2.has("s1")  # old identity now invalid
 
 
+def test_input_identity_changes_when_corpus_regenerated_in_place(spark, tmp_path):
+    """Same file names, different content → different identity: a checkpoint
+    dir must never resume a corpus that was regenerated under the same path
+    (datagen writes fixed names like pages.parquet)."""
+    import time as _time
+
+    from camden_spark.plans.checkpoint import input_identity
+
+    p = str(tmp_path / "corpus")
+    spark.range(100).write.mode("overwrite").parquet(p)
+    id1 = input_identity(spark.read.parquet(p))
+    assert id1  # file-backed → non-empty identity
+    _time.sleep(1.1)  # mtime granularity
+    spark.range(250).write.mode("overwrite").parquet(p)
+    id2 = input_identity(spark.read.parquet(p))
+    assert id1 != id2
+    # in-memory frames have no identity
+    assert input_identity(spark.range(5)) == ""
+
+
 def test_snapshot_manifest_commit_is_the_commit_point(spark, tmp_path):
     """manifest mode: data without a manifest (killed mid-write) must read as
     absent and recompute cleanly."""
