@@ -602,9 +602,18 @@ FROM documents
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH-bucketed near-dup scale path (approximate — rows-only)."""
+    """SRP-LSH-bucketed near-dup scale path (approximate — rows-only).
+
+    Hyperplane counts are matched to the query's threshold: at cosine 0.4
+    (collision prob p = 1 − θ/π ≈ 0.63 per plane) the production default of
+    16 planes has ~0 recall — 4 planes × 8 tables gives per-pair recall
+    ≈ 1−(1−p⁴)⁸ ≈ 0.75 at this operating point.  Production near-dup
+    (threshold ≥ 0.9) keeps the default 16 planes, where random collisions
+    stay rare."""
     vecs = _embeddings(spark, sf_dir)
-    return ann_near_dup_pairs(vecs, dim=64, threshold=0.4)
+    return ann_near_dup_pairs(
+        vecs, dim=64, threshold=0.4, n_planes=4, n_tables=8
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
