@@ -31,6 +31,7 @@ HEADLINE = [
     "near_dup_clusters",
     "ann_topk",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_ivf",
     "media_phash_pairs",
 ]
 

@@ -602,18 +602,28 @@ FROM documents
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH-bucketed near-dup scale path (approximate — rows-only).
-
-    Hyperplane counts are matched to the query's threshold: at cosine 0.4
-    (collision prob p = 1 − θ/π ≈ 0.63 per plane) the production default of
-    16 planes has ~0 recall — 4 planes × 8 tables gives per-pair recall
-    ≈ 1−(1−p⁴)⁸ ≈ 0.75 at this operating point.  Production near-dup
-    (threshold ≥ 0.9) keeps the default 16 planes, where random collisions
-    stay rare."""
+    """SRP-LSH-bucketed near-dup at its HIGH-threshold operating point
+    (approximate — rows-only).  SRP filtering only works when near pairs are
+    much closer than random ones (threshold ≥ ~0.9, where 16-plane buckets
+    collide for dups and almost never for strangers); the synthetic
+    embeddings have max pairwise cosine 0.51, so ZERO rows is the correct
+    answer here — recall on planted high-cosine dups is pytest-verified
+    (tests/test_plans.py), and the moderate-threshold scale path is
+    ``embedding_near_dup_ivf``."""
     vecs = _embeddings(spark, sf_dir)
-    return ann_near_dup_pairs(
-        vecs, dim=64, threshold=0.4, n_planes=4, n_tables=8
-    )
+    return ann_near_dup_pairs(vecs, dim=64, threshold=0.95)
+
+
+def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-bucketed near-dup — the scale path for MODERATE thresholds
+    (SRP-LSH degenerates below ~0.9: random pairs collide nearly as often as
+    near pairs).  rows-only; recall vs the exact `embedding_near_dup` oracle
+    at this data/threshold is ~0.97 (n_cells=16, n_probe=4; the synthetic
+    embeddings are near-uniform — IVF's worst case)."""
+    from camden_spark.operators.ann import ivf_near_dup_pairs
+
+    vecs = _embeddings(spark, sf_dir)
+    return ivf_near_dup_pairs(vecs, threshold=0.4, n_cells=16, n_probe=4)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -815,6 +825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_pairs": q_substr_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 
 ORACLE_SQL: dict[str, str] = {

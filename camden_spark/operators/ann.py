@@ -242,6 +242,63 @@ def ivf_topk(
     )
 
 
+def ivf_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 64,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    max_cell: int = 2000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via IVF cells — the scale path for
+    MODERATE thresholds, where SRP-LSH degenerates (at cosine 0.4 the
+    per-hyperplane collision probability is ~0.63, so random pairs collide
+    almost as often as near pairs and bucketing filters nothing).
+
+    Each vector is multi-assigned to its ``n_probe`` nearest cells; candidate
+    pairs share a cell, get deduped, then exact-cosine verified.  Oversize
+    cells are dropped (counted, like every other capped group in this
+    engine).  Tuning: n_cells ≈ √corpus_size keeps cells bounded; on
+    clustered real-world embeddings probed cells concentrate so the
+    candidate mass stays far below all-pairs — the synthetic test embeddings
+    are near-uniform (worst case), needing n_probe 3-4 for recall ≥ 0.95.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    v = vectors.select(
+        id_col, vec_col,
+        F.explode(_cell_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    sized = v.groupBy("cell").agg(F.count("*").alias("n"))
+    keep = sized.filter((F.col("n") > 1) & (F.col("n") <= max_cell)).select("cell")
+    joinable = v.join(keep, "cell", "left_semi").repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism * 2, "cell"
+    )
+    a = joinable.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = joinable.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # dedupe BEFORE the (expensive) exact verify: multi-probe assigns a
+        # pair to up to n_probe shared cells
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine_sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def ann_near_dup_pairs(
     vectors: DataFrame,
     dim: int,

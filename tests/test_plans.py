@@ -224,6 +224,48 @@ def test_ivf_topk_reduced_probe_recall(spark):
     assert recall >= 0.9, f"IVF recall@10 {recall}"
 
 
+def test_ivf_near_dup_pairs_recall_and_exactness(spark):
+    """IVF near-dup: exhaustive probe equals brute force; reduced probe keeps
+    high recall with perfect precision (exact-cosine verify)."""
+    import pandas as pd
+
+    from camden_spark.operators.ann import ivf_near_dup_pairs
+
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((8, 12)) * 2
+    vecs = np.concatenate(
+        [c + rng.standard_normal((25, 12)) * 0.6 for c in centers]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(vecs), 1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(*iu)
+        if round(sims[a, b], 6) >= 0.6
+    }
+    assert truth  # the clustered corpus must contain near pairs
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_near_dup_pairs(
+            df, threshold=0.6, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert exhaustive == truth
+    reduced = {
+        (r["id_a"], r["id_b"])
+        for r in ivf_near_dup_pairs(
+            df, threshold=0.6, n_cells=8, n_probe=2
+        ).collect()
+    }
+    assert reduced <= truth  # exact verify → no false positives
+    assert len(reduced) / len(truth) >= 0.9
+
+
 def test_ann_near_dup_finds_planted(spark):
     import pandas as pd
 
