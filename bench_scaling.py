@@ -130,13 +130,18 @@ def main() -> None:
                 "scaling_efficiency": round(speedup / (hi / lo), 3),
             }
         )
-    # the headline number is the first (bandwidth-envelope) pair
+    # the headline number is the first pair, and it only counts as the ≥0.8
+    # target when it sits inside the bandwidth envelope (both legs ≤ 8
+    # cores) — a missing low leg must not silently promote the 8→32
+    # DRAM-wall pair to the pass/fail gate
     head = pairs[0]
+    envelope_ok = head["cores_hi"] <= 8
     all_pinned = all(r.get("pinned") for r in runs)
     result = {
         "n_docs": args.docs,
         "levels": levels,
         "pinned": all_pinned,
+        "headline_in_bandwidth_envelope": envelope_ok,
         "elapsed_sec": {str(r["cores"]): r["elapsed_sec"] for r in runs},
         "docs_per_sec": {str(r["cores"]): r["docs_per_sec"] for r in runs},
         "pairs": pairs,
@@ -145,7 +150,7 @@ def main() -> None:
         "cores_hi": head["cores_hi"],
         "speedup": head["speedup"],
         "target": 0.8,
-        "pass": head["scaling_efficiency"] >= 0.8,
+        "pass": envelope_ok and head["scaling_efficiency"] >= 0.8,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -159,8 +164,9 @@ def main() -> None:
         if all_pinned
         else "WARNING: legs ran UNPINNED (taskset unavailable or pin flag\n"
         "missing) — python UDF workers may have borrowed idle cores beyond\n"
-        "local[N], so the low-parallelism legs are optimistic and the\n"
-        "efficiency below is a LOWER bound on nothing; treat with caution."
+        "local[N], inflating the low-parallelism legs, so the efficiency\n"
+        "below UNDERSTATES the engine's true scaling; rerun with taskset\n"
+        "available before citing these numbers."
     )
     leg_rows = "\n".join(
         f"| local[{r['cores']}] | {r['elapsed_sec']} | {r['docs_per_sec']} |"
@@ -169,7 +175,13 @@ def main() -> None:
     pair_rows = "\n".join(
         f"| {p['cores_lo']}→{p['cores_hi']} | {p['speedup']:.2f}x | "
         f"{p['scaling_efficiency']:.3f} |"
-        + (" ≥0.8 target pair |" if p is pairs[0] else " bandwidth-bound (see below) |")
+        + (
+            " ≥0.8 target pair |"
+            if p is pairs[0] and envelope_ok
+            else " NOT the target pair (low leg missing — rerun with --cores 2 8 ...) |"
+            if p is pairs[0]
+            else " bandwidth-bound (see below) |"
+        )
         for p in pairs
     )
     md = f"""# BENCH — measured scaling evidence

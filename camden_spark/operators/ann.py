@@ -252,6 +252,7 @@ def ivf_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    status: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF cells — the scale path for
     MODERATE thresholds, where SRP-LSH degenerates (at cosine 0.4 the
@@ -260,12 +261,18 @@ def ivf_near_dup_pairs(
 
     Each vector is multi-assigned to its ``n_probe`` nearest cells; candidate
     pairs share a cell, get deduped, then exact-cosine verified.  Oversize
-    cells are dropped (counted, like every other capped group in this
-    engine).  Tuning: n_cells ≈ √corpus_size keeps cells bounded; on
-    clustered real-world embeddings probed cells concentrate so the
-    candidate mass stays far below all-pairs — the synthetic test embeddings
-    are near-uniform (worst case), needing n_probe 3-4 for recall ≥ 0.95.
+    cells are dropped to cap skew; pass ``status`` (a dict) to receive
+    ``{"cells_total", "cells_dropped", "rows_in_dropped_cells"}`` (one tiny
+    extra job).  Cell sizing rides a window count over the SAME cell-keyed
+    shuffle the self-join uses — the cell-assignment UDF subtree is computed
+    once and the exchange is reused, never cached corpus-wide.  Tuning:
+    n_cells ≈ √corpus_size keeps cells bounded; on clustered real-world
+    embeddings probed cells concentrate so the candidate mass stays far
+    below all-pairs — the synthetic test embeddings are near-uniform (worst
+    case), needing n_probe 3-4 for recall ≥ 0.95.
     """
+    from pyspark.sql import Window
+
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
@@ -274,11 +281,21 @@ def ivf_near_dup_pairs(
         id_col, vec_col,
         F.explode(_cell_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
     )
-    sized = v.groupBy("cell").agg(F.count("*").alias("n"))
-    keep = sized.filter((F.col("n") > 1) & (F.col("n") <= max_cell)).select("cell")
-    joinable = v.join(keep, "cell", "left_semi").repartition(
-        vectors.sparkSession.sparkContext.defaultParallelism * 2, "cell"
-    )
+    sized = v.withColumn("_n", F.count("*").over(Window.partitionBy("cell")))
+    if status is not None:
+        drops = (
+            sized.groupBy("cell").agg(F.max("_n").alias("n")).agg(
+                F.count("*").cast("long").alias("cells_total"),
+                F.sum((F.col("n") > max_cell).cast("long")).alias("cells_dropped"),
+                F.sum(
+                    F.when(F.col("n") > max_cell, F.col("n")).otherwise(0)
+                ).cast("long").alias("rows_in_dropped_cells"),
+            ).first()
+        )
+        status.update(drops.asDict())
+    joinable = sized.filter(
+        (F.col("_n") > 1) & (F.col("_n") <= max_cell)
+    ).drop("_n")
     a = joinable.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
     )

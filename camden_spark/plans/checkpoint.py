@@ -53,7 +53,7 @@ def input_identity(df: DataFrame) -> str:
     Empty string for in-memory/non-file sources (identity unknown — such
     checkpoints are only as safe as the caller's discipline)."""
     import os as _os
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     try:
         files = sorted(df.inputFiles())
@@ -64,12 +64,16 @@ def input_identity(df: DataFrame) -> str:
     h = hashlib.sha256()
     for f in files:
         parsed = urlparse(f)
-        path = parsed.path if parsed.scheme in ("", "file") else None
+        # inputFiles() returns percent-encoded URIs — unquote, or paths with
+        # spaces/non-ASCII silently lose the size+mtime signature
+        path = unquote(parsed.path) if parsed.scheme in ("", "file") else None
         try:
             st = _os.stat(path) if path else None
         except OSError:
             st = None
-        sig = f"{f}|{st.st_size}|{int(st.st_mtime)}" if st else f
+        # nanosecond mtime: whole seconds leave a same-second regeneration
+        # with unchanged sizes undetectable
+        sig = f"{f}|{st.st_size}|{st.st_mtime_ns}" if st else f
         h.update(sig.encode())
         h.update(b"\n")
     return f"{len(files)}-{h.hexdigest()[:16]}"
