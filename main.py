@@ -31,6 +31,9 @@ def parse_args(argv: list[str]) -> argparse.Namespace:
     p.add_argument("--input", required=True, help="pages table (dir or iceberg:ident)")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--commit-mode", default="rename", choices=["rename", "manifest"],
+                   help="snapshot commit protocol: rename (POSIX fs) or "
+                        "manifest (object-store-safe, manifest-PUT-last)")
     p.add_argument("--cores", type=int, default=None)
     # default None → DedupConfig's 0.65 owns the default (one source of
     # truth: CLI runs must cluster identically to entry()/tests)
@@ -73,6 +76,7 @@ def run(argv: list[str]) -> dict:
     pipeline = DedupPipeline(
         cfg=cfg,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_commit_mode=args.commit_mode,
         enable_lsh=not args.no_lsh,
         enable_simhash=not args.no_simhash,
         enable_substr=not args.no_substr,

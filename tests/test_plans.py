@@ -266,7 +266,30 @@ def test_ivf_near_dup_pairs_recall_and_exactness(spark):
     assert len(reduced) / len(truth) >= 0.9
 
 
-def test_ann_near_dup_finds_planted(spark):
+def test_ivf_near_dup_drop_accounting(spark):
+    """Oversize cells are dropped AND counted via the status dict — skew caps
+    in this engine are never silent."""
+    import pandas as pd
+
+    from camden_spark.operators.ann import ivf_near_dup_pairs
+
+    rng = np.random.RandomState(4)
+    center = rng.standard_normal(8)
+    vecs = center + rng.standard_normal((60, 8)) * 0.1  # one dense blob
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    status: dict = {}
+    pairs = ivf_near_dup_pairs(
+        df, threshold=0.9, n_cells=4, n_probe=1, max_cell=10, status=status
+    )
+    n_pairs = pairs.count()  # dense-blob cells exceed the cap and are dropped
+    assert status["cells_dropped"] >= 1
+    assert status["rows_in_dropped_cells"] >= 11
+    assert status["cells_total"] >= status["cells_dropped"]
+    # dropped cells means far fewer than the blob's all-pairs count
+    assert n_pairs < 60 * 59 / 2
     import pandas as pd
 
     rng = np.random.RandomState(4)
