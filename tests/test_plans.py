@@ -290,6 +290,9 @@ def test_ivf_near_dup_drop_accounting(spark):
     assert status["cells_total"] >= status["cells_dropped"]
     # dropped cells means far fewer than the blob's all-pairs count
     assert n_pairs < 60 * 59 / 2
+
+
+def test_ann_near_dup_finds_planted(spark):
     import pandas as pd
 
     rng = np.random.RandomState(4)
