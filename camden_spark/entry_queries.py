@@ -203,7 +203,7 @@ WITH s AS (
   SELECT doc_id,
          length(text) AS len_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+              ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+')) END AS n_tokens,
          (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE
            / length(text) AS punct,
          (length(text) - length(regexp_replace(text, {_DIGIT_SQL}, '', 'g')))::DOUBLE
@@ -397,6 +397,95 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: permutation count for the SQL-mirrorable MinHash twin (one output column
+#: per permutation — kept small so the generated oracle SQL stays readable)
+_MINHASH_BOUNDED_PERMS = 16
+
+
+def q_minhash_signatures_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 driver-HASH-verified on a bounded slice (doc_id < 40): MinHash
+    signatures whose every step is SQL-statable, so DuckDB can recompute them
+    exactly.  The shingle set is the same word-5-gram semantics as the green
+    ``ngram_jaccard`` (shared ``_word_5gram_shingles`` builder); the token
+    hash is the 32-bit sha256 prefix of the shingle string (sha2 is
+    byte-identical across engines — the SQL-expressible stand-in for the
+    production polynomial kernel in functions/hashing.py:batch_token_hashes,
+    whose uint64 wraparound DuckDB cannot state); the signature is the REAL
+    multiply-add permutation family min((a*h + b) mod p) of
+    functions/hashing.py:minhash_flat with bounded params
+    (small_minhash_params) so products stay in int64 on both engines.
+    All JVM builtins (sha2/conv/transform/array_min) — no UDF."""
+    from camden_spark.functions.hashing import SQL_MINHASH_P, small_minhash_params
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
+    hashes = F.transform(
+        "shingles",
+        lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long"),
+    )
+    hs = sh.select(
+        "doc_id",
+        F.size("shingles").cast("long").alias("n_shingles"),
+        hashes.alias("h"),
+    )
+    a, b = small_minhash_params(_MINHASH_BOUNDED_PERMS, CFG.minhash_seed)
+
+    def _perm_min(aj: int, bj: int):
+        # NOTE: the transform lambda must be unary — F.transform passes the
+        # element index as a second argument to binary lambdas
+        return F.array_min(
+            F.transform("h", lambda x: (x * aj + bj) % SQL_MINHASH_P)
+        )
+
+    sig_cols = [
+        _perm_min(int(a[j]), int(b[j])).alias(f"sig_{j:02d}")
+        for j in range(_MINHASH_BOUNDED_PERMS)
+    ]
+    return hs.select("doc_id", "n_shingles", *sig_cols)
+
+
+def _minhash_bounded_oracle_sql() -> str:
+    """DuckDB mirror of q_minhash_signatures_bounded, generated from the SAME
+    small_minhash_params constants — the permutation arithmetic is stated
+    verbatim (list_min over (a*h + b) % p), the token hash as
+    CAST('0x' || substr(sha256(s), 1, 8) AS BIGINT)."""
+    from camden_spark.functions.hashing import SQL_MINHASH_P, small_minhash_params
+
+    a, b = small_minhash_params(_MINHASH_BOUNDED_PERMS, CFG.minhash_seed)
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(h, x -> (x * {int(a[j])} + {int(b[j])})"
+        f" % {SQL_MINHASH_P})) AS sig_{j:02d}"
+        for j in range(_MINHASH_BOUNDED_PERMS)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE doc_id < 40
+),
+sh AS (
+  SELECT doc_id,
+         {_SHINGLES_5GRAM_SQL} AS shingles
+  FROM toks
+),
+hs AS (
+  SELECT doc_id,
+         CAST(len(shingles) AS BIGINT) AS n_shingles,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(sha256(s), 1, 8)) AS BIGINT)) AS h
+  FROM sh
+)
+SELECT doc_id, n_shingles,
+       {sig_cols}
+FROM hs
+"""
+
+
+SQL_MINHASH_SIGNATURES_BOUNDED = _minhash_bounded_oracle_sql()
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = normalize_pages(pages_from_documents(spark, sf_dir))
     sig = (
@@ -517,13 +606,17 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKEN_COUNTS = r"""
+#: whitespace class pinned verbatim with functions/text.py:WS_CLASS — Java's
+#: \s includes \x0B (vertical tab), RE2's does not
+_WS_SQL = r"[ \t\n\f\r]"
+
+SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+            ELSE length(regexp_split_to_array(trim(text), '{_WS_SQL}+')) END AS BIGINT)
          AS n_tokens_ws,
        CAST(len(regexp_extract_all(text,
-            ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+            ' ?[\p{{L}}]+| ?[\p{{N}}]+| ?[^ \t\n\f\r\p{{L}}\p{{N}}]+')) AS BIGINT)
          AS n_pieces_bpe
 FROM documents
 """
@@ -602,16 +695,36 @@ FROM documents
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH-bucketed near-dup at its HIGH-threshold operating point
-    (approximate — rows-only).  SRP filtering only works when near pairs are
-    much closer than random ones (threshold ≥ ~0.9, where 16-plane buckets
-    collide for dups and almost never for strangers); the synthetic
-    embeddings have max pairwise cosine 0.51, so ZERO rows is the correct
-    answer here — recall on planted high-cosine dups is pytest-verified
-    (tests/test_plans.py), and the moderate-threshold scale path is
-    ``embedding_near_dup_ivf``."""
-    vecs = _embeddings(spark, sf_dir)
-    return ann_near_dup_pairs(vecs, dim=64, threshold=0.95)
+    """SRP-LSH-bucketed near-dup at its HIGH-threshold operating point,
+    made NON-VACUOUS and hash-verifiable by planting deterministic
+    high-cosine twins: every vec_id < 20 gains a twin (vec_id + 1_000_000,
+    embedding × 2).  Doubling is exact in IEEE float and sign-invariant, so
+    the twin lands in the SAME SRP bucket in every table (guaranteed
+    candidate, not probabilistic recall) and its cosine is exactly 1.0 after
+    6-decimal rounding; the corpus's own max pairwise cosine is ~0.51, far
+    below the 0.95 threshold.  The pair set is therefore the closed form
+    {(i, i + 1_000_000, 1.0) : i < 20}, which the DuckDB oracle states —
+    the bucket→join→verify machinery is hash-verified end to end.
+    Probabilistic recall on perturbed (non-identical-direction) dups remains
+    pytest-verified (tests/test_plans.py)."""
+    vecs = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    planted = vecs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return ann_near_dup_pairs(
+        vecs.unionByName(planted), dim=64, threshold=0.95
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_LSH = """
+SELECT vec_id AS id_a,
+       CAST(vec_id + 1000000 AS BIGINT) AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine_sim
+FROM embeddings WHERE vec_id < 20
+"""
 
 
 def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +737,24 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _embeddings(spark, sf_dir)
     return ivf_near_dup_pairs(vecs, threshold=0.4, n_cells=16, n_probe=4)
+
+
+def q_embedding_near_dup_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF near-dup KERNEL driver-hash-verified via its exact-degenerate
+    configuration: with n_probe = n_cells every vector is multi-assigned to
+    every cell, so every pair shares a cell, the candidate set is all pairs,
+    and the exact-cosine verify makes the result EXACTLY the brute-force
+    `embedding_near_dup` semantics — same oracle (the trick that made
+    ``ann_topk_ivf`` green, operators/ann.py:ivf_topk docstring).  max_cell
+    is lifted above the corpus size so the skew cap cannot drop cells in the
+    degenerate config.  Reduced-probe recall stays pytest-verified and the
+    production operating point stays ``embedding_near_dup_ivf``."""
+    from camden_spark.operators.ann import ivf_near_dup_pairs
+
+    vecs = _embeddings(spark, sf_dir).filter(F.col("vec_id") < 1000)
+    return ivf_near_dup_pairs(
+        vecs, threshold=0.4, n_cells=4, n_probe=4, max_cell=1_000_000
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -764,26 +895,26 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        col_names = [f.name for f in MEDIA_SCHEMA.fields]
         for pdf in batches:
-            rows = []
+            # explicit column frame: pd.DataFrame([]) on an empty Arrow batch
+            # has ZERO columns and fails the mapInPandas schema check (the
+            # same guard as operators/ann.py:_cell_udf's empty-batch branch)
+            cols: dict[str, list] = {c: [] for c in col_names}
             for did in pdf["doc_id"]:
                 did = int(did)
                 img = _synth_image(np.random.RandomState(did % 25))
                 img = np.clip(
                     img.astype(np.int16) + 3 * (did // 25), 0, 255
                 ).astype(np.uint8)
-                rows.append(
-                    {
-                        "media_id": did,
-                        "url": f"media://img/{did}",
-                        "media_type": "image",
-                        "payload": encode_pnm(img),
-                        "width": None,
-                        "height": None,
-                        "duration_ms": None,
-                    }
-                )
-            yield pd.DataFrame(rows)
+                cols["media_id"].append(did)
+                cols["url"].append(f"media://img/{did}")
+                cols["media_type"].append("image")
+                cols["payload"].append(encode_pnm(img))
+                cols["width"].append(None)
+                cols["height"].append(None)
+                cols["duration_ms"].append(None)
+            yield pd.DataFrame(cols)
 
     media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
     return media_near_dup_pairs(media)
@@ -818,13 +949,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_pairs": q_media_phash_pairs,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "streaming_dedup": q_streaming_dedup,
+    "minhash_signatures_bounded": q_minhash_signatures_bounded,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_near_dup_ivf_exhaustive": q_embedding_near_dup_ivf_exhaustive,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
     "simhash_pairs": q_simhash_pairs,
     "substr_pairs": q_substr_pairs,
     "near_dup_clusters": q_near_dup_clusters,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
 
@@ -848,4 +981,8 @@ ORACLE_SQL: dict[str, str] = {
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "minhash_signatures_bounded": SQL_MINHASH_SIGNATURES_BOUNDED,
+    "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
+    # n_probe = n_cells ≡ exhaustive ≡ brute-force near-dup semantics
+    "embedding_near_dup_ivf_exhaustive": SQL_EMBEDDING_NEAR_DUP,
 }

@@ -270,6 +270,26 @@ def minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+#: modulus for the SQL-mirrorable MinHash twin (Mersenne prime 2^31 - 1):
+#: with 32-bit shingle hashes and a < 2^30, a*h + b < 2^63 — every step of
+#: min((a*h + b) mod p) stays in signed-64 range on BOTH engines, so the
+#: permutation arithmetic can be stated verbatim in DuckDB SQL.
+SQL_MINHASH_P = (1 << 31) - 1
+
+
+def small_minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded (a, b) for the SQL-mirrorable MinHash twin — the same
+    multiply-add permutation family as ``minhash_params`` (a odd, seeded
+    RandomState), with ranges small enough (a < 2^30, b < SQL_MINHASH_P) that
+    the arithmetic is expressible in 64-bit SQL integers.  Used by the
+    ``minhash_signatures_bounded`` driver query to hash-verify the F1/F2
+    shingle→permutation-min semantics against a DuckDB oracle."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 29, size=num_perms).astype(np.int64) * 2 + 1
+    b = rng.randint(0, SQL_MINHASH_P, size=num_perms).astype(np.int64)
+    return a, b
+
+
 def minhash_signatures_np(
     shingle_arrays: list[np.ndarray], num_perms: int, seed: int
 ) -> np.ndarray:

@@ -31,12 +31,19 @@ PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}<>/@#$%^&*_+=~`|\\-]"
 DIGIT_CLASS = r"[0-9]"
 
 
+#: explicit ascii whitespace class for tokenization, pinned on BOTH engines:
+#: Java's ``\s`` includes \x0B (vertical tab) while DuckDB/RE2's does not, so
+#: ``\s`` would drift on VT-containing text (same reasoning as lang_id_udf).
+WS_CLASS = r"[ \t\n\f\r]"
+
+
 def token_count(col: str = "text") -> Column:
-    """Whitespace token count — builtin split, exact oracle parity."""
+    """Whitespace token count — builtin split, exact oracle parity.  Splits
+    on the explicit ascii class ``WS_CLASS``, not ``\\s`` (see WS_CLASS)."""
     trimmed = F.trim(F.col(col))
     return (
         F.when(F.length(trimmed) == 0, F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, WS_CLASS + "+")))
         .cast("long")
     )
 
@@ -127,8 +134,9 @@ def lang_id_udf() -> "F.pandas_udf":
 #: number-run / punctuation-run split with optional leading space, minus the
 #: contraction special-cases and whitespace tokens, which need lookahead —
 #: RE2 (DuckDB oracle) has none).  Alternatives have disjoint first-char
-#: classes, so Java regex and RE2 tokenize identically.
-BPE_PIECE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+#: classes, so Java regex and RE2 tokenize identically.  The whitespace
+#: exclusion is the explicit ascii class, not ``\s`` (see WS_CLASS).
+BPE_PIECE_PATTERN = r" ?[\p{L}]+| ?[\p{N}]+| ?[^ \t\n\f\r\p{L}\p{N}]+"
 
 
 def bpe_piece_count(col: str = "text") -> Column:
