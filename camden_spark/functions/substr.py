@@ -74,10 +74,16 @@ def batch_winnow(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(fingerprints uint64[M], per-doc counts int64[nd]) for a whole Arrow
     batch — one buffer, one rolling-hash pass, one sliding-min, no per-doc
-    Python.  Same values as ``winnow_fingerprints`` per doc.
+    Python.  Same values as ``winnow_fingerprints`` per doc for
+    newline-free texts (the normalized pipeline path).
 
-    Windows crossing doc boundaries are masked out via the '\\n' separator
-    (no document text contains a newline after normalization).
+    Windows crossing doc boundaries are masked out via the '\\n' separator.
+    Texts CONTAINING newlines (possible only with collapse_whitespace=False)
+    follow masked-window semantics: g-windows and w-windows crossing an
+    in-text newline are excluded, and a doc left with valid g-windows but no
+    complete w-window falls back to the min over its valid g-hashes — it
+    always fingerprints, but the values differ from ``winnow_fingerprints``,
+    which hashes straight through newlines.
     """
     n = len(texts)
     joined = "\n".join(t if isinstance(t, str) else "" for t in texts)
@@ -120,6 +126,7 @@ def batch_winnow(
     span = w + g - 1  # byte span of a w-window of g-grams
     fps_parts: list[np.ndarray] = []
     doc_parts: list[np.ndarray] = []
+    covered = np.zeros(n, dtype=bool)  # docs served by the windowed path
     if H >= w:
         wm = sliding_min(h, w)  # len H-w+1
         W = wm.shape[0]
@@ -127,6 +134,7 @@ def batch_winnow(
         w_valid = (nl_cum[span:][:W] - nl_cum[:W]) == 0
         vals = wm[w_valid]
         vdocs = doc_of[:W][w_valid]
+        covered[vdocs] = True
         # pre-drop adjacent repeats (the same min spans many neighboring
         # windows) — shrinks the global sort by ~w x
         if vals.shape[0]:
@@ -136,9 +144,16 @@ def batch_winnow(
             vals, vdocs = vals[first], vdocs[first]
         fps_parts.append(vals)
         doc_parts.append(vdocs)
-    # fallback: docs whose valid g-window count is in (0, w) get min of all —
-    # byte-based classification, mirroring the byte-based hash segments above
-    short = np.flatnonzero((doc_lens >= g) & (doc_lens < span))
+    # fallback: any doc with ≥ 1 VALID g-window that got nothing from the
+    # windowed path takes the min over its valid g-hashes.  Classified by
+    # valid-g-window coverage, NOT byte length: with in-text newlines
+    # (collapse_whitespace=False) a doc of byte length ≥ span can still have
+    # every complete w-window masked — byte-length classification would give
+    # such docs ZERO fingerprints and exempt them from the substring pass.
+    # For newline-free texts this reduces exactly to byte length in
+    # [g, span), the old classification.
+    g_count = np.bincount(doc_of[g_valid[:H]], minlength=n)
+    short = np.flatnonzero((g_count > 0) & ~covered)
     if short.shape[0]:
         # per short doc: min over its valid g-hashes (few docs; small loop)
         mins = []

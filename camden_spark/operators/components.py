@@ -1,19 +1,37 @@
 """Connected components over candidate pairs (north rule F6).
 
-DataFrame-native min-label propagation: every node starts labeled with itself
-(its url); each iteration joins labels across edges (both directions) and
-takes the min label per node; fixpoint when no label changes.  Duplicate
-clusters have tiny diameters (pairs come from similarity joins, so components
-are near-cliques), so convergence is fast; ``cfg.cc_max_iterations`` caps the
-loop defensively.
+DataFrame-native min-label propagation with POINTER JUMPING: every node
+starts labeled with itself (its url); each iteration (a) joins labels across
+edges (both directions) and takes the min neighbor label, and (b) shortcuts
+through the label graph (label(u) ← label(label(u))).  The jump step doubles
+the distance a label travels per iteration, so convergence is O(log diameter)
+instead of O(diameter) — the same asymptotics as alternating
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), with a simpler dataflow: labels only ever decrease and stay inside
+the component, so the plain-propagation fixpoint argument still applies
+verbatim.  Duplicate clusters from similarity joins are near-cliques
+(1-2 iterations); the jump matters for substring-containment CHAINS, whose
+diameter grows with corpus size.  ``cfg.cc_max_iterations`` caps the loop
+defensively.
 
 Scale notes:
 
-* lineage is truncated every iteration with ``localCheckpoint`` — Catalyst
-  cannot optimize across iterations and the plan would otherwise grow
-  exponentially (SURVEY §4.2.3)
+* lineage is truncated every iteration — Catalyst cannot optimize across
+  iterations and the plan would otherwise grow exponentially (SURVEY §4.2.3).
+  Two truncation modes:
+  - default: ``localCheckpoint`` — executor-MEMORY-backed.  Fast, but on a
+    real cluster one executor loss mid-CC kills the job with no resume (the
+    blocks are not replicated to disk).
+  - ``checkpoint_dir=...`` — RELIABLE: per-iteration state is written to
+    (and re-read from) parquet under the given directory, which may be any
+    Hadoop-visible store (HDFS/S3/GCS).  Executor loss now costs one task
+    retry, not the job; this is the 100×-scale mode, the analog of the F9
+    snapshot store for the iterative stage (the reference's non-resumable
+    move stage, src/operations.rs:52-55, is the failure mode both exist to
+    fix).
 * the convergence check is an ``observe`` metric collected during the
-  checkpoint's own materialization job — zero extra jobs per iteration
+  truncation's own materialization job (the localCheckpoint or the parquet
+  write) — zero extra jobs per iteration
 * labels are the string urls themselves: min(url) is simultaneously the
   cluster id AND the deterministic first-wins canonical member (camden keeps
   element 0 of each group, reference src/operations.rs:50 — ours is the
@@ -22,6 +40,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import pyspark.sql.functions as F
@@ -34,6 +53,7 @@ def connected_components(
     edges: DataFrame,
     cfg: DedupConfig | None = None,
     status: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(url_a, url_b) → (url, cluster_id) for every node in an edge.
 
@@ -41,51 +61,78 @@ def connected_components(
     absent (callers union singletons back with cluster_id = own url).
 
     Pass ``status`` (a dict) to receive ``{"converged": bool, "iterations":
-    int}`` — min-label propagation is O(component diameter) iterations, and
-    substring-containment chains can approach ``cfg.cc_max_iterations``; a
-    capped-out run returns possibly-split labels, so non-convergence warns
-    loudly and is surfaced in pipeline metrics instead of passing silently.
+    int, "checkpoint": "local"|"reliable"}``; a capped-out run returns
+    possibly-split labels, so non-convergence warns loudly and is surfaced in
+    pipeline metrics instead of passing silently.
+
+    ``checkpoint_dir``: when set, per-iteration label state is persisted as
+    parquet under this directory instead of memory-backed ``localCheckpoint``
+    — survives executor loss (see module docstring).  The directory is
+    run-scoped scratch: iterations overwrite ``cc_iter_{0,1}`` alternately so
+    the footprint stays at two label tables regardless of iteration count.
     """
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
-    sym = (
+
+    def truncate(df: DataFrame, name: str) -> DataFrame:
+        """Materialize + truncate lineage; the action also collects any
+        pending Observation riding ``df``."""
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = os.path.join(checkpoint_dir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    sym = truncate(
         edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         .union(edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst")))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
+        .dropDuplicates(["src", "dst"]),
+        "cc_edges",
     )
-    labels = (
+    labels = truncate(
         sym.select(F.col("src").alias("url"))
         .distinct()
-        .withColumn("label", F.col("url"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("url")),
+        "cc_iter_init",
     )
     converged = False
     iterations = 0
     for _ in range(cfg.cc_max_iterations):
         iterations += 1
-        # neighbor labels: for each dst, min label over incoming src labels
+        # (a) neighbor labels: for each dst, min label over incoming src labels
         nbr = (
             sym.join(labels.withColumnRenamed("url", "src"), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("dst", "url")
         )
-        # the convergence check rides the checkpoint's materialization job as
+        # (b) pointer jump: label-of-label.  label(u) is always a node of u's
+        # component that appears in `labels` (it started as identity and only
+        # ever moves to smaller member ids), so the join always matches; the
+        # coalesce is belt-and-braces for the left join.
+        jump = labels.select(
+            F.col("url").alias("_pj_url"), F.col("label").alias("_pj_label")
+        )
+        # the convergence check rides the truncation's materialization job as
         # an observed metric — zero extra jobs per iteration (vs a separate
         # isEmpty/count action)
         obs = Observation(f"cc_changed_{iterations}")
-        new_labels = (
+        stepped = (
             labels.join(nbr, "url", "left")
+            .join(jump, F.col("label") == F.col("_pj_url"), "left")
             .select(
                 "url",
+                F.col("label").alias("_old"),
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                    F.coalesce(F.col("_pj_label"), F.col("label")),
                 ).alias("label"),
-                (
-                    F.col("nbr_label").isNotNull()
-                    & (F.col("nbr_label") < F.col("label"))
-                ).alias("changed"),
+            )
+            .select(
+                "url",
+                "label",
+                (F.col("label") < F.col("_old")).alias("changed"),
             )
             .observe(
                 obs,
@@ -93,8 +140,8 @@ def connected_components(
                     F.sum(F.col("changed").cast("long")), F.lit(0)
                 ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = truncate(stepped, f"cc_iter_{iterations % 2}")
         jmap = obs._jo.getOrEmpty()  # .get would block if no action ran
         if not jmap.isEmpty():
             converged = int(jmap.get("changed").get()) == 0
@@ -114,6 +161,7 @@ def connected_components(
     if status is not None:
         status["converged"] = converged
         status["iterations"] = iterations
+        status["checkpoint"] = "local" if checkpoint_dir is None else "reliable"
     return labels.withColumnRenamed("label", "cluster_id")
 
 
@@ -122,11 +170,14 @@ def assign_clusters(
     edges: DataFrame,
     cfg: DedupConfig | None = None,
     status: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(url, cluster_id, is_canonical) over ALL urls: component min-url for
     nodes in edges, own url for singletons (camden's singleton groups — kept
     in the map, filtered only by consumers, reference src/scanner.rs:17-49)."""
-    comp = connected_components(edges, cfg, status=status)
+    comp = connected_components(
+        edges, cfg, status=status, checkpoint_dir=checkpoint_dir
+    )
     return (
         all_urls.select("url")
         .join(comp, "url", "left")

@@ -45,13 +45,34 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 MANIFEST_VERSION = 2
 
 
+def hadoop_file_stat(spark: SparkSession, uri: str) -> tuple[int, int]:
+    """(size_bytes, mtime_ms) of ``uri`` via the Hadoop FileSystem API —
+    works for ANY scheme with a configured connector (file, hdfs, s3a, gs),
+    unlike ``os.stat`` which only sees the local filesystem.  Millisecond
+    mtime granularity (Hadoop's contract) — coarser than POSIX ns but still
+    catches in-place regeneration; raises on missing files/connectors."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    st = p.getFileSystem(conf).getFileStatus(p)
+    return int(st.getLen()), int(st.getModificationTime())
+
+
 def input_identity(df: DataFrame) -> str:
     """Stable identity of a file-backed input: digest of the sorted file
     listing WITH per-file size and mtime — a corpus regenerated in place
     under the same file names (datagen writes fixed names) must change the
     identity.  Conservative by design: touching files forces a recompute.
-    Empty string for in-memory/non-file sources (identity unknown — such
-    checkpoints are only as safe as the caller's discipline)."""
+
+    Local/file URIs are stat'ed with ``os.stat`` (nanosecond mtime); any
+    other scheme (s3a://, gs://, hdfs://) goes through the Hadoop FileSystem
+    API (``hadoop_file_stat``) so object-store corpora regenerated in place
+    under the same keys still change the identity — without this, the
+    signature would degrade to the bare file listing exactly on the
+    deployments the 'manifest' commit mode targets.  A file whose stat fails
+    on both paths contributes its name only.  Empty string for
+    in-memory/non-file sources (identity unknown — such checkpoints are only
+    as safe as the caller's discipline)."""
     import os as _os
     from urllib.parse import unquote, urlparse
 
@@ -66,14 +87,21 @@ def input_identity(df: DataFrame) -> str:
         parsed = urlparse(f)
         # inputFiles() returns percent-encoded URIs — unquote, or paths with
         # spaces/non-ASCII silently lose the size+mtime signature
-        path = unquote(parsed.path) if parsed.scheme in ("", "file") else None
-        try:
-            st = _os.stat(path) if path else None
-        except OSError:
-            st = None
-        # nanosecond mtime: whole seconds leave a same-second regeneration
-        # with unchanged sizes undetectable
-        sig = f"{f}|{st.st_size}|{st.st_mtime_ns}" if st else f
+        sig = f
+        if parsed.scheme in ("", "file"):
+            try:
+                st = _os.stat(unquote(parsed.path))
+                # nanosecond mtime: whole seconds leave a same-second
+                # regeneration with unchanged sizes undetectable
+                sig = f"{f}|{st.st_size}|{st.st_mtime_ns}"
+            except OSError:
+                pass
+        else:
+            try:
+                size, mtime_ms = hadoop_file_stat(df.sparkSession, f)
+                sig = f"{f}|{size}|{mtime_ms}ms"
+            except Exception:
+                pass
         h.update(sig.encode())
         h.update(b"\n")
     return f"{len(files)}-{h.hexdigest()[:16]}"

@@ -17,6 +17,7 @@ heavy exact duplication pays near-dup cost only on distinct texts.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -286,11 +287,22 @@ class DedupPipeline:
 
         def build_clusters() -> DataFrame:
             cc_status: dict = {}
+            # with a checkpoint dir configured, CC's per-iteration state uses
+            # the RELIABLE parquet path (survives executor loss) instead of
+            # memory-backed localCheckpoint — same store, run-scoped scratch
+            cc_ckpt = (
+                os.path.join(
+                    self.checkpoint_dir, cfg.config_hash(), "cc_scratch"
+                )
+                if self.checkpoint_dir is not None
+                else None
+            )
             out = assign_clusters(
                 norm.select("url"),
                 all_pairs.select("url_a", "url_b"),
                 cfg,
                 status=cc_status,
+                checkpoint_dir=cc_ckpt,
             )
             # surfaced, never silent: a capped-out CC returns split clusters
             metrics["cc"] = cc_status

@@ -169,6 +169,28 @@ def test_batch_winnow_matches_per_doc():
         assert np.array_equal(single, got), (len(t), cnt, len(single))
 
 
+def test_batch_winnow_newline_doc_still_fingerprints():
+    """A long doc whose in-text newlines (collapse_whitespace=False path)
+    mask every complete w-window must still produce fingerprints via the
+    valid-g-window fallback — byte-length classification would give it ZERO
+    fingerprints and silently exempt it from the substring pass."""
+    import pandas as pd
+
+    from camden_spark.functions.substr import batch_winnow
+
+    g, w = 8, 10  # span = 17
+    # 8 lines of 12 chars: byte length 103 >= span, but every 17-byte window
+    # crosses a newline; each line still holds 5 valid g-windows
+    doc = "\n".join(f"line{i:02d}abcdef" for i in range(8))
+    assert len(doc.encode()) >= g + w - 1
+    flat, counts = batch_winnow(pd.Series([doc, "x" * 40]), g, w)
+    assert counts[0] > 0, "newline-masked doc lost all fingerprints"
+    assert counts[1] > 0
+    # and a clean short doc (the old byte-length class) still fingerprints
+    flat2, counts2 = batch_winnow(pd.Series(["y" * 20]), g, w)
+    assert counts2[0] == 1  # single min over its valid g-hashes
+
+
 def test_batch_winnow_non_ascii_matches_per_doc():
     """Byte-vs-char offsets: multi-byte UTF-8 docs must produce the same
     fingerprints batched as per-doc (doc extents are byte-space; char-space

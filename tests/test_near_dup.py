@@ -130,6 +130,60 @@ def test_connected_components_nonconvergence_is_loud(spark):
     assert set(comp.values()) == {nodes[0]}
 
 
+def test_connected_components_pointer_jump_fast_on_chains(spark):
+    """A 40-node path graph (diameter 39) must converge in O(log n)
+    iterations — the pointer-jump step doubles label travel per iteration,
+    so plain min-label propagation's 39 iterations collapse to ~8."""
+    n = 40
+    nodes = [f"n{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(nodes[i], nodes[i + 1]) for i in range(n - 1)], ["url_a", "url_b"]
+    )
+    status: dict = {}
+    comp = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges, status=status).collect()
+    }
+    assert status["converged"] is True
+    assert set(comp.values()) == {nodes[0]}
+    assert status["iterations"] <= 12, (
+        f"pointer jumping should converge a 39-diameter chain in ~8 "
+        f"iterations, took {status['iterations']}"
+    )
+
+
+def test_connected_components_reliable_checkpoint(tmp_path, spark):
+    """checkpoint_dir= routes per-iteration state through parquet (the
+    executor-loss-safe path): labels identical to the localCheckpoint mode,
+    and the state files actually land under the directory."""
+    import os as _os
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r")],
+        ["url_a", "url_b"],
+    )
+    status: dict = {}
+    ckpt = str(tmp_path / "cc")
+    rel = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            edges, status=status, checkpoint_dir=ckpt
+        ).collect()
+    }
+    loc = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert rel == loc == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+        "p": "p", "q": "p", "r": "p",
+    }
+    assert status["checkpoint"] == "reliable"
+    written = _os.listdir(ckpt)
+    assert any(d.startswith("cc_iter") for d in written), written
+    assert "cc_edges" in written
+
+
 def test_empty_docs_never_near_dup(spark):
     """Whitespace-only pages with different raw bytes must not merge in the
     near stages (zero-shingle policy); byte-identical empties still cluster

@@ -80,6 +80,22 @@ def test_input_identity_changes_when_corpus_regenerated_in_place(spark, tmp_path
     assert input_identity(spark.range(5)) == ""
 
 
+def test_hadoop_file_stat_matches_os_stat(spark, tmp_path):
+    """The Hadoop FileSystem stat path (used for non-file schemes so
+    object-store corpora regenerated in place still change identity) agrees
+    with os.stat on size and second-level mtime for a file:// URI."""
+    import os as _os
+
+    from camden_spark.plans.checkpoint import hadoop_file_stat
+
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"x" * 12345)
+    size, mtime_ms = hadoop_file_stat(spark, f"file://{f}")
+    st = _os.stat(f)
+    assert size == st.st_size == 12345
+    assert abs(mtime_ms / 1000.0 - st.st_mtime) < 2.0
+
+
 def test_snapshot_manifest_commit_is_the_commit_point(spark, tmp_path):
     """manifest mode: data without a manifest (killed mid-write) must read as
     absent and recompute cleanly."""
