@@ -78,12 +78,19 @@ def main() -> None:
     overrides = {"near_dup_clusters": _near_dup_clusters_bench}
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    from camden_spark.plans.caches import release_caches
+
     for name in HEADLINE:
         fn = overrides.get(name, QUERIES[name])
         t0 = time.time()
         df = fn(spark, sf_dir)
         rows[name], _ = _force(df)
         times[name] = round(time.time() - t0, 3)
+        # cache hygiene between queries: each query's operator caches are
+        # fully consumed by _force; releasing keeps storage memory flat
+        # across the run (and the release cost is inside the measured time
+        # of NO query — it runs after the clock stops)
+        release_caches()
 
     total = round(sum(times.values()), 3)
     pipeline_sec = times.get("near_dup_clusters", 0.0)

@@ -18,6 +18,7 @@ all heavy per-document computation runs through vectorized pandas/Arrow UDFs
 """
 
 from camden_spark.config import DedupConfig
+from camden_spark.plans.caches import release_caches
 
-__all__ = ["DedupConfig"]
+__all__ = ["DedupConfig", "release_caches"]
 __version__ = "0.1.0"

@@ -72,6 +72,22 @@ FEATURE_DIM = 16
 # Real stdlib/numpy codecs (no Pillow/ffmpeg in this container)
 # --------------------------------------------------------------------------
 
+def decode_image_pillow(payload: bytes) -> np.ndarray:
+    """JPEG/PNG/WEBP/… → float32 H×W×C in [0, 1] via Pillow, when the
+    library is installed (VERDICT r2 item 6: the optional-import branch of
+    the codec seam — netpbm stays the always-on stdlib path).  Raises
+    ImportError where Pillow is absent; callers treat that like any other
+    undecodable payload (ok=false, north rule B3)."""
+    import io
+
+    from PIL import Image  # optional dependency; import-guarded by caller
+
+    with Image.open(io.BytesIO(payload)) as im:
+        im = im.convert("RGB") if im.mode not in ("L", "RGB") else im
+        arr = np.asarray(im, dtype=np.float32) / np.float32(255.0)
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Binary netpbm P5 (grayscale) / P6 (RGB) → float32 H×W×C in [0, 1].
 
@@ -203,9 +219,14 @@ def audio_spectral_hash(samples: np.ndarray, n_bands: int = 64) -> int:
 
 def _decode_one(media_type: str, payload: bytes) -> dict:
     """Decode one payload → features dict; raises on undecodable input.
-    (A Pillow/ffmpeg codec for JPEG/PNG/MP3/MP4 would plug in here.)"""
+    Images: netpbm P5/P6 always (stdlib/numpy); other formats (JPEG/PNG/…)
+    through the import-guarded Pillow branch where the library exists.
+    (An ffmpeg codec for MP3/MP4 would plug in the same way.)"""
     if media_type == "image":
-        img = decode_pnm(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            img = decode_pnm(payload)
+        else:
+            img = decode_image_pillow(payload)
         gray = img.mean(axis=2) if img.ndim == 3 else img
         return {
             "phash": average_hash(img),

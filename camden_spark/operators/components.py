@@ -47,6 +47,19 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation
 
 from camden_spark.config import DedupConfig
+from camden_spark.plans.caches import track_release
+
+
+def _persistent_rdds(spark) -> dict:
+    """id → java RDD handle for every RDD currently holding storage blocks
+    (the JVM-side map behind the Storage UI tab)."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    out = {}
+    while it.hasNext():
+        t = it.next()
+        out[t._1()] = t._2()
+    return out
 
 
 def connected_components(
@@ -74,11 +87,35 @@ def connected_components(
     cfg = cfg or DedupConfig()
     spark = edges.sparkSession
 
-    def truncate(df: DataFrame, name: str) -> DataFrame:
+    # localCheckpoint-mode block bookkeeping (cache-hygiene, VERDICT r2 #7):
+    # each eager localCheckpoint leaves executor-storage blocks that
+    # DataFrame.unpersist cannot reach (the storage belongs to the internal
+    # checkpointed RDD, and its lineage is truncated).  We diff the session's
+    # persistent-RDD map around each checkpoint, free an iteration's blocks
+    # as soon as the NEXT iteration is materialized (its blocks are
+    # self-contained), and defer the final frame's blocks to the session
+    # cache registry (freed by release_caches once consumers are done).
+    local_blocks: dict[str, dict] = {}
+
+    def free_blocks(key: str, blocking: bool = False) -> None:
+        for rdd in local_blocks.pop(key, {}).values():
+            try:
+                rdd.unpersist(blocking)
+            except Exception:
+                pass
+
+    def truncate(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
         """Materialize + truncate lineage; the action also collects any
         pending Observation riding ``df``."""
         if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
+            before = set(_persistent_rdds(spark))
+            out = df.localCheckpoint(eager=True)
+            local_blocks[key or name] = {
+                i: r
+                for i, r in _persistent_rdds(spark).items()
+                if i not in before
+            }
+            return out
         path = os.path.join(checkpoint_dir, name)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -97,6 +134,7 @@ def connected_components(
     )
     converged = False
     iterations = 0
+    prev_key = "cc_iter_init"
     for _ in range(cfg.cc_max_iterations):
         iterations += 1
         # (a) neighbor labels: for each dst, min label over incoming src labels
@@ -141,13 +179,19 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        new_labels = truncate(stepped, f"cc_iter_{iterations % 2}")
+        new_labels = truncate(
+            stepped, f"cc_iter_{iterations % 2}", key=f"cc_iter#{iterations}"
+        )
         jmap = obs._jo.getOrEmpty()  # .get would block if no action ran
         if not jmap.isEmpty():
             converged = int(jmap.get("changed").get()) == 0
         else:  # defensive: metric not collected — fall back to a scan
             converged = new_labels.filter(F.col("changed")).isEmpty()
         labels = new_labels.drop("changed")
+        # the superseded iteration's blocks are dead the moment new_labels
+        # is materialized (lineage is truncated, nothing reads them again)
+        free_blocks(prev_key)
+        prev_key = f"cc_iter#{iterations}"
         if converged:
             break
     if not converged:
@@ -162,6 +206,16 @@ def connected_components(
         status["converged"] = converged
         status["iterations"] = iterations
         status["checkpoint"] = "local" if checkpoint_dir is None else "reliable"
+    # edges are dead after the loop; the FINAL labels blocks back the
+    # returned frame, so their free is deferred to release_caches()
+    free_blocks("cc_edges")
+    if local_blocks:
+        final_key = prev_key
+
+        def _free_final(blocking: bool) -> None:
+            free_blocks(final_key, blocking)
+
+        track_release(_free_final)
     return labels.withColumnRenamed("label", "cluster_id")
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 
 from camden_spark.config import DedupConfig
 from camden_spark.functions.shingles import jaccard_on_shingles
+from camden_spark.plans.caches import track_cache
 
 
 def band_hashes(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -60,9 +61,11 @@ def candidate_pairs_lsh(
 
     # one aggregation computes group sizes; groups of 1 can't produce pairs,
     # groups above the cap are dropped mega-bands (boilerplate skew).
-    sized = bands.groupBy("band", "band_hash").agg(
-        F.count("*").alias("band_group_size")
-    ).cache()  # tiny (one row per distinct band key); metrics + keep reuse it
+    sized = track_cache(
+        bands.groupBy("band", "band_hash").agg(
+            F.count("*").alias("band_group_size")
+        )
+    )  # tiny (one row per distinct band key); metrics + keep reuse it
     metrics = sized.agg(
         F.count("*").cast("long").alias("bands_total"),
         F.sum(
@@ -113,7 +116,7 @@ def verify_pairs_jaccard(
     Returns (url_a, url_b, jaccard) for pairs ≥ cfg.jaccard_threshold.
     """
     cfg = cfg or DedupConfig()
-    pairs = pairs.cache()  # consumed 3x below (url set x2 + the join)
+    pairs = track_cache(pairs)  # consumed 3x below (url set x2 + the join)
     # prune the (wide, shingle-array-carrying) signature table to urls that
     # actually appear in candidate pairs BEFORE the shuffle joins — the full
     # corpus's shingle arrays must never ride an exchange for a small pair set

@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from camden_spark.config import DedupConfig
+from camden_spark.plans.caches import track_cache
 
 
 def simhash_blocks(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -43,9 +44,11 @@ def candidate_pairs_simhash(
     cfg = cfg or DedupConfig()
     blocks = simhash_blocks(sig, cfg)
 
-    sized = blocks.groupBy("block", "block_val").agg(
-        F.count("*").alias("group_size")
-    ).cache()  # tiny; metrics + keep reuse it
+    sized = track_cache(
+        blocks.groupBy("block", "block_val").agg(
+            F.count("*").alias("group_size")
+        )
+    )  # tiny; metrics + keep reuse it
     metrics = sized.agg(
         F.count("*").cast("long").alias("blocks_total"),
         F.sum((F.col("group_size") > cfg.max_simhash_group).cast("long")).alias(

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from camden_spark.config import DedupConfig
+from camden_spark.plans.caches import track_cache
 from camden_spark.functions.substr import (
     batch_winnow,
     has_common_substring,
@@ -61,7 +62,9 @@ def candidate_pairs_substr(
     """Fingerprint-equality candidate pairs (url_a < url_b) + metrics row."""
     cfg = cfg or DedupConfig()
     exploded = fp.select("url", F.explode("fingerprints").alias("fp"))
-    sized = exploded.groupBy("fp").agg(F.count("*").alias("group_size")).cache()
+    sized = track_cache(
+        exploded.groupBy("fp").agg(F.count("*").alias("group_size"))
+    )
     metrics = sized.agg(
         F.count("*").cast("long").alias("fingerprints_total"),
         F.sum(
@@ -112,7 +115,7 @@ def verify_pairs_substr(
     code (no global structure, memory bounded by batch).
     """
     cfg = cfg or DedupConfig()
-    pairs = pairs.cache()  # consumed 3x below (url set x2 + the join)
+    pairs = track_cache(pairs)  # consumed 3x below (url set x2 + the join)
     # prune the corpus to candidate urls before shuffling text bodies
     pair_urls = (
         pairs.select(F.col("url_a").alias("url"))

@@ -34,6 +34,7 @@ from camden_spark.operators.substr import (
     with_fingerprints,
 )
 from camden_spark.functions.shingles import with_shingles, with_signatures
+from camden_spark.plans.caches import release_caches, track_cache
 from camden_spark.plans.checkpoint import SnapshotStore
 from camden_spark.plans.metrics import StageCounters
 from camden_spark.sources.pages import normalize_pages
@@ -86,6 +87,14 @@ class PipelineResult:
     #: Observation-backed row counters (plans/metrics.py); populated after the
     #: clusters/pairs frames are materialized — read via counters.get()
     counters: "StageCounters | None" = None
+
+    def release(self, blocking: bool = False) -> int:
+        """Unpersist every operator/pipeline cache registered during run().
+
+        Call AFTER materializing clusters/pairs (they reference the caches
+        lazily; releasing early only costs recompute, never correctness).
+        Returns the number of frames released."""
+        return release_caches(blocking)
 
 
 @dataclass
@@ -146,20 +155,20 @@ class DedupPipeline:
         # carries exactly what downstream stages read
         from camden_spark.operators.exact import with_checksum
 
-        norm = (
+        norm = track_cache(
             normalize_pages(
                 with_checksum(base, cfg), cfg.lowercase, cfg.collapse_whitespace
-            )
-            .select("url", "warc_ts", "checksum", "norm_text")
-            .cache()
+            ).select("url", "warc_ts", "checksum", "norm_text")
         )
 
         # ---- stage 1: exact (camden semantics) -------------------------
-        exact = staged(
-            "exact",
-            lambda: exact_dedup_clusters(norm, cfg),
-            upstream=[],
-        ).cache()
+        exact = track_cache(
+            staged(
+                "exact",
+                lambda: exact_dedup_clusters(norm, cfg),
+                upstream=[],
+            )
+        )
 
         # exact-dup pairs: every non-canonical pairs with its canonical
         canon = exact.filter(F.col("rn") == 1).select(
@@ -196,13 +205,15 @@ class DedupPipeline:
             # would otherwise band every empty page together (and flip with
             # corpus size once the mega-band cap kicks in).  They remain
             # singletons unless the exact stage clustered them byte-identical.
-            sig = staged(
-                "signatures",
-                lambda: with_signatures(distinct_pages, cfg)
-                .filter(F.size("shingles") > 0)
-                .select("url", "minhash", "simhash"),
-                upstream=["exact"],
-            ).cache()
+            sig = track_cache(
+                staged(
+                    "signatures",
+                    lambda: with_signatures(distinct_pages, cfg)
+                    .filter(F.size("shingles") > 0)
+                    .select("url", "minhash", "simhash"),
+                    upstream=["exact"],
+                )
+            )
 
         if self.enable_lsh:
             def build_lsh() -> DataFrame:
@@ -212,7 +223,7 @@ class DedupPipeline:
                 # materialization they race to compute the expensive band-join
                 # subtree redundantly (+25% pipeline wall at 500k docs).
                 # Small frame — the extra job is noise next to the recompute.
-                cand = cand.cache()
+                cand = track_cache(cand)
                 cand.count()
                 if self.collect_metrics:
                     metrics["lsh"] = m.first().asDict()
@@ -252,9 +263,11 @@ class DedupPipeline:
             def build_substr() -> DataFrame:
                 # cache: the fingerprint UDF output feeds four consumers
                 # (group sizing + both sides of the self-join)
-                fp = with_fingerprints(distinct_pages, cfg).select(
-                    "url", "fingerprints"
-                ).cache()
+                fp = track_cache(
+                    with_fingerprints(distinct_pages, cfg).select(
+                        "url", "fingerprints"
+                    )
+                )
                 cand, m = candidate_pairs_substr(fp, cfg)
                 if self.collect_metrics:
                     metrics["substr"] = m.first().asDict()

@@ -107,6 +107,9 @@ def run(argv: list[str]) -> dict:
     with open(f"{args.output}/summary.json", "w") as f:
         json.dump(summary, f, indent=2, default=str)
     print(json.dumps(summary, default=str))
+    # all outputs are written; free the operator/pipeline caches so a driver
+    # program embedding run() in a longer session doesn't accumulate storage
+    result.release()
     return summary
 
 

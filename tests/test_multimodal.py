@@ -125,3 +125,70 @@ def test_media_near_dup_pairs_exact_recall(spark):
         for r in media_near_dup_pairs(df).collect()
     }
     assert got == truth
+
+
+def _encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit grayscale, filter 0) — test fixture
+    for the import-guarded Pillow branch; no Pillow needed to BUILD it."""
+    import struct
+    import zlib
+
+    assert img.dtype == np.uint8 and img.ndim == 2
+    h, w = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # gray, no interlace
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _has_pillow() -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(not _has_pillow(), reason="Pillow not installed")
+def test_pillow_branch_decodes_png():
+    """Where Pillow exists, non-netpbm images flow through the same feature
+    path: decode → average_hash, matching the netpbm-decoded twin exactly."""
+    from camden_spark.multimodal import _decode_one, decode_image_pillow
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (16, 16), dtype=np.uint8)
+    png = _encode_png_gray(gray)
+    arr = decode_image_pillow(png)
+    assert arr.shape == (16, 16, 1) or arr.shape == (16, 16, 3)
+    row = _decode_one("image", png)
+    twin = _decode_one("image", encode_pnm(gray))
+    assert row["width"] == 16 and row["height"] == 16
+    assert row["phash"] == twin["phash"]
+
+
+def test_png_without_pillow_is_error_row(spark):
+    """The optional branch degrades per north rule B3: a PNG payload in a
+    Pillow-less container becomes ok=false with the import error surfaced —
+    never a task failure, and netpbm rows in the same batch still decode."""
+    if _has_pillow():
+        pytest.skip("Pillow installed — covered by test_pillow_branch_decodes_png")
+    png = _encode_png_gray(np.zeros((4, 4), dtype=np.uint8))
+    pnm = encode_pnm(np.zeros((4, 4), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(pnm))],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media_features(df).collect()}
+    assert rows[1]["ok"] is False and "PIL" in rows[1]["err"]
+    assert rows[2]["ok"] is True
