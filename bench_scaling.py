@@ -27,6 +27,9 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+#: BENCH/BASELINE.md content from this line on survives report regeneration
+EXTRA_MARKER = "<!-- extra-sections: preserved across bench_scaling reruns -->"
+
 
 def ensure_corpus(n_docs: int, words: tuple[int, int], path: str) -> str:
     marker = os.path.join(path, f"_corpus_{n_docs}_{words[0]}_{words[1]}.json")
@@ -234,8 +237,18 @@ All legs above ran back-to-back in one session; absolute wall times drift
 with box state (an A/B rerun of identical code measured ±30% across hours),
 so cross-session comparisons should use the ratios, not the absolutes.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-written sections below the marker across regenerations
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = f.read()
+        if EXTRA_MARKER in old:
+            extra = old[old.index(EXTRA_MARKER):]
+    with open(baseline_path, "w") as f:
         f.write(md)
+        if extra:
+            f.write("\n" + extra)
     print(json.dumps(result))
 
 

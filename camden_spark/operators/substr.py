@@ -32,7 +32,6 @@ from camden_spark.config import DedupConfig
 from camden_spark.plans.caches import track_cache
 from camden_spark.functions.substr import (
     batch_winnow,
-    has_common_substring,
     longest_common_substring,
 )
 
@@ -135,7 +134,25 @@ def verify_pairs_substr(
     min_frac = cfg.min_overlap_frac
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from camden_spark.functions.substr import rolling_hashes
+
         for pdf in batches:
+            # Per-batch memo of screen hash sets keyed (url, threshold): a
+            # hub document (one contained by many others) appears in many
+            # pairs of the same batch, usually at the same threshold (L
+            # saturates at min_overlap for any partner ≥ 2x min_overlap
+            # bytes), so its O(n) hash pass runs once, not once per pair.
+            # Batch-scoped → memory stays bounded by the Arrow batch.
+            memo: dict[tuple[str, int], np.ndarray] = {}
+
+            def screen_hashes(url: str, data: bytes, L: int) -> np.ndarray:
+                key = (url, L)
+                v = memo.get(key)
+                if v is None:
+                    v = np.unique(rolling_hashes(data, L))
+                    memo[key] = v
+                return v
+
             keep_a, keep_b, lens = [], [], []
             for ua, ub, ta, tb in zip(
                 pdf["url_a"], pdf["url_b"], pdf["text_a"], pdf["text_b"]
@@ -150,7 +167,11 @@ def verify_pairs_substr(
                 # the common case (near-dup candidates with only short shared
                 # runs) before the exact suffix-array LCS confirms survivors.
                 threshold = max(min_overlap, int(np.ceil(min_frac * shorter)))
-                if not has_common_substring(ba, bb, threshold):
+                if len(ba) < threshold or len(bb) < threshold:
+                    continue
+                ha = screen_hashes(ua, ba, threshold)
+                hb = screen_hashes(ub, bb, threshold)
+                if np.intersect1d(ha, hb, assume_unique=True).shape[0] == 0:
                     continue
                 lcs = longest_common_substring(ta or "", tb or "")
                 if lcs >= min_overlap and lcs / shorter >= min_frac:

@@ -217,3 +217,25 @@ def test_batch_winnow_non_ascii_matches_per_doc():
         got = np.sort(flat[pos : pos + cnt].astype(np.uint64))
         pos += cnt
         assert np.array_equal(single, got), (t[:20], len(t), cnt, len(single))
+
+
+def test_rolling_hash_screen_agrees_with_lcs():
+    """The O(n) has_common_substring screen (used memoized inside
+    verify_pairs_substr) must never reject a pair whose true LCS meets the
+    threshold, and in practice accepts none below it (hash collisions are
+    the only false-positive source; none at these sizes)."""
+    from camden_spark.functions.substr import (
+        has_common_substring,
+        longest_common_substring,
+    )
+
+    rng = np.random.RandomState(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    for trial in range(30):
+        core = "".join(rng.choice(list(alpha), size=rng.randint(5, 60)))
+        a = "".join(rng.choice(list(alpha), size=rng.randint(0, 40))) + core
+        b = core + "".join(rng.choice(list(alpha), size=rng.randint(0, 40)))
+        lcs = longest_common_substring(a, b)
+        for L in (1, 5, lcs, lcs + 1, lcs + 10):
+            got = has_common_substring(a.encode(), b.encode(), L)
+            assert got == (0 < L <= lcs), (a, b, L, lcs)
