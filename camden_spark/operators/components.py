@@ -90,32 +90,21 @@ def connected_components(
     # localCheckpoint-mode block bookkeeping (cache-hygiene, VERDICT r2 #7):
     # each eager localCheckpoint leaves executor-storage blocks that
     # DataFrame.unpersist cannot reach (the storage belongs to the internal
-    # checkpointed RDD, and its lineage is truncated).  We diff the session's
-    # persistent-RDD map around each checkpoint, free an iteration's blocks
-    # as soon as the NEXT iteration is materialized (its blocks are
-    # self-contained), and defer the final frame's blocks to the session
-    # cache registry (freed by release_caches once consumers are done).
-    local_blocks: dict[str, dict] = {}
+    # checkpointed RDD, and its lineage is truncated).  ONE diff of the
+    # session's persistent-RDD map around the whole CC run records every
+    # block it created; freeing is deferred entirely to the session cache
+    # registry (release_caches, once consumers are done with the returned
+    # frame).  Deliberately NOT per-iteration: bookkeeping must add zero
+    # work inside the hot loop (a per-truncate diff + eager frees measured
+    # ~1.5x on the full-pipeline wall), and the intermediates it would free
+    # early are small (url, label) tables.
+    before_cc = set(_persistent_rdds(spark)) if checkpoint_dir is None else set()
 
-    def free_blocks(key: str, blocking: bool = False) -> None:
-        for rdd in local_blocks.pop(key, {}).values():
-            try:
-                rdd.unpersist(blocking)
-            except Exception:
-                pass
-
-    def truncate(df: DataFrame, name: str, key: str | None = None) -> DataFrame:
+    def truncate(df: DataFrame, name: str) -> DataFrame:
         """Materialize + truncate lineage; the action also collects any
         pending Observation riding ``df``."""
         if checkpoint_dir is None:
-            before = set(_persistent_rdds(spark))
-            out = df.localCheckpoint(eager=True)
-            local_blocks[key or name] = {
-                i: r
-                for i, r in _persistent_rdds(spark).items()
-                if i not in before
-            }
-            return out
+            return df.localCheckpoint(eager=True)
         path = os.path.join(checkpoint_dir, name)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -134,7 +123,6 @@ def connected_components(
     )
     converged = False
     iterations = 0
-    prev_key = "cc_iter_init"
     for _ in range(cfg.cc_max_iterations):
         iterations += 1
         # (a) neighbor labels: for each dst, min label over incoming src labels
@@ -179,19 +167,13 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        new_labels = truncate(
-            stepped, f"cc_iter_{iterations % 2}", key=f"cc_iter#{iterations}"
-        )
+        new_labels = truncate(stepped, f"cc_iter_{iterations % 2}")
         jmap = obs._jo.getOrEmpty()  # .get would block if no action ran
         if not jmap.isEmpty():
             converged = int(jmap.get("changed").get()) == 0
         else:  # defensive: metric not collected — fall back to a scan
             converged = new_labels.filter(F.col("changed")).isEmpty()
         labels = new_labels.drop("changed")
-        # the superseded iteration's blocks are dead the moment new_labels
-        # is materialized (lineage is truncated, nothing reads them again)
-        free_blocks(prev_key)
-        prev_key = f"cc_iter#{iterations}"
         if converged:
             break
     if not converged:
@@ -206,16 +188,22 @@ def connected_components(
         status["converged"] = converged
         status["iterations"] = iterations
         status["checkpoint"] = "local" if checkpoint_dir is None else "reliable"
-    # edges are dead after the loop; the FINAL labels blocks back the
-    # returned frame, so their free is deferred to release_caches()
-    free_blocks("cc_edges")
-    if local_blocks:
-        final_key = prev_key
+    if checkpoint_dir is None:
+        created = {
+            i: r
+            for i, r in _persistent_rdds(spark).items()
+            if i not in before_cc
+        }
+        if created:
 
-        def _free_final(blocking: bool) -> None:
-            free_blocks(final_key, blocking)
+            def _free_cc_blocks(blocking: bool) -> None:
+                for rdd in created.values():
+                    try:
+                        rdd.unpersist(blocking)
+                    except Exception:
+                        pass
 
-        track_release(_free_final)
+            track_release(_free_cc_blocks)
     return labels.withColumnRenamed("label", "cluster_id")
 
 
