@@ -31,6 +31,60 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """ids of every RDD currently holding storage blocks (JVM-side map)."""
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def materialize_barrier(df: DataFrame) -> DataFrame:
+    """Eagerly materialize a SMALL, expensive, multiply-consumed frame and
+    truncate its lineage; blocks are registered for release with the registry.
+
+    Why not ``cache()`` + ``count()``: observed on Spark 4.1.2, an
+    InMemoryRelation whose child is an AQE plan embedding the candidate
+    verify/anti-join subtrees re-executes that child on EVERY consuming
+    action, even with ``isCachedColumnBuffersLoaded == true`` and all
+    partitions present in storage (the TableCacheQueryStage re-materializes
+    nested query stages).  Diagnosed by counting a fully-cached 249-row pair
+    frame repeatedly: 7-17 s per count, event log showing the full union /
+    window / ArrowEvalPython stages re-running each time.  ``localCheckpoint``
+    cuts the plan at materialized blocks, so downstream consumers — including
+    the CC edge truncation and PipelineResult.pairs — read blocks, period.
+
+    Scale note: localCheckpoint blocks are executor-memory-backed (lost
+    executor ⇒ job retry from the barrier's parent stage, never wrong
+    results).  Use only for frames orders of magnitude smaller than the
+    corpus (candidate/verified pair sets); full-stage outputs go through the
+    SnapshotStore parquet path when a checkpoint dir is configured.
+    """
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    created = []
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in before:
+            created.append(t._2())
+    if created:
+
+        def _free(blocking: bool) -> None:
+            for rdd in created:
+                try:
+                    rdd.unpersist(blocking)
+                except Exception:
+                    pass
+
+        track_release(_free)
+    return out
+
+
 def track_release(callback) -> None:
     """Register ``callback(blocking: bool)`` to run at the next
     :func:`release_caches` — for storage a plain ``unpersist`` can't free

@@ -34,7 +34,11 @@ from camden_spark.operators.substr import (
     with_fingerprints,
 )
 from camden_spark.functions.shingles import with_shingles, with_signatures
-from camden_spark.plans.caches import release_caches, track_cache
+from camden_spark.plans.caches import (
+    materialize_barrier,
+    release_caches,
+    track_cache,
+)
 from camden_spark.plans.checkpoint import SnapshotStore
 from camden_spark.plans.metrics import StageCounters
 from camden_spark.sources.pages import normalize_pages
@@ -218,13 +222,13 @@ class DedupPipeline:
         if self.enable_lsh:
             def build_lsh() -> DataFrame:
                 cand, m = candidate_pairs_lsh(sig, cfg)
-                # The count is a BARRIER, not a metric: three downstream
-                # branches consume the cached pair set, and without forcing
-                # materialization they race to compute the expensive band-join
-                # subtree redundantly (+25% pipeline wall at 500k docs).
-                # Small frame — the extra job is noise next to the recompute.
-                cand = track_cache(cand)
-                cand.count()
+                # HARD materialization barrier: three downstream branches
+                # consume the candidate set, and without it they race to
+                # compute the expensive band-join subtree redundantly (+25%
+                # pipeline wall at 500k docs).  localCheckpoint, not
+                # cache+count — see materialize_barrier's docstring for the
+                # Spark 4.1 cached-AQE-plan re-execution quirk.
+                cand = materialize_barrier(cand)
                 if self.collect_metrics:
                     metrics["lsh"] = m.first().asDict()
                 pair_urls = (
@@ -238,6 +242,14 @@ class DedupPipeline:
                 return verify_pairs_jaccard(cand, sh, cfg)
 
             lsh_pairs = staged("lsh_pairs", build_lsh, upstream=["signatures"])
+            if self.enable_substr and store is None:
+                # The verified LSH pair set feeds TWO consumers (the pair
+                # union AND substr's anti-join); without a barrier both
+                # subtrees compute the Jaccard-verify join (re-shingle +
+                # join) redundantly, and cache() does not stop that (the
+                # materialize_barrier docstring quirk).  With a store the
+                # staged() parquet snapshot already is the barrier.
+                lsh_pairs = materialize_barrier(lsh_pairs)
             pair_frames.append(
                 lsh_pairs.select(
                     "url_a", "url_b", F.lit("minhash_lsh").alias("source")
@@ -294,8 +306,13 @@ class DedupPipeline:
         all_pairs = pair_frames[0]
         for pf in pair_frames[1:]:
             all_pairs = all_pairs.unionByName(pf)
+        # materialize the final pair set ONCE: CC consumes it through its
+        # edge truncation and callers force PipelineResult.pairs afterwards —
+        # with a plain cache() both re-ran every verify stage per action
+        # (materialize_barrier docstring).  Small frame (url pairs + source).
         all_pairs = counters.observe_rows(
-            all_pairs.dropDuplicates(["url_a", "url_b"]), "pairs_total"
+            materialize_barrier(all_pairs.dropDuplicates(["url_a", "url_b"])),
+            "pairs_total",
         )
 
         def build_clusters() -> DataFrame:
