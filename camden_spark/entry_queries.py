@@ -269,6 +269,178 @@ FROM events GROUP BY event_type
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity gap) + per-session rollup —
+    lag/running-sum windows + one groupBy, single shuffle on user_id
+    (operators/temporal.py:sessionize).  Timestamps surface as epoch micros
+    (exact integers, no float drift vs the oracle)."""
+    from camden_spark.operators.temporal import session_stats, sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    return session_stats(sessionize(ev, gap_seconds=21600)).select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "start_us",
+        "end_us",
+        "total_value",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+), s AS (
+  SELECT *,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM t
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us,
+       MAX(ts_us) AS end_us,
+       round(SUM(value), 4) AS total_value,
+       round((MAX(ts_us) - MIN(ts_us)) / 1000000.0, 6) AS duration_sec
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event gains the latest prior (or
+    simultaneous) purchase of the same user.  Union + last-non-null-window —
+    ONE shuffle, no range-join explosion (operators/temporal.py:asof_join);
+    the oracle is DuckDB's native ASOF JOIN, an independent implementation
+    of the same semantics."""
+    from camden_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, purchases, "user_id", "ts", ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("asof_ts"),
+        F.col("value_asof"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS asof_ts,
+       r.value AS value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard quality rules as per-rule flags + combined verdict
+    (functions/text.py:with_quality_flags) — the drop-accounting shape a
+    training-data filter stage needs (per-rule counts, not a silent WHERE)."""
+    from camden_spark.functions.text import with_quality_flags
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return with_quality_flags(docs).select(
+        "doc_id",
+        "n_words",
+        "flag_too_short",
+        "flag_too_long",
+        "flag_mean_word_len",
+        "flag_punct",
+        "flag_digits",
+        "passes",
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '[ \\t\\n\\f\\r]+'))
+         END AS n_words,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, {_PUNCT_SQL}, '', 'g')))::DOUBLE
+             / length(text) ELSE 0.0 END AS punct,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, {_DIGIT_SQL}, '', 'g')))::DOUBLE
+             / length(text) ELSE 0.0 END AS digit
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         n_words < 5 AS flag_too_short,
+         n_words > 100000 AS flag_too_long,
+         (n_words > 0 AND
+          ((CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END) < 2.0
+           OR (CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END) > 12.0))
+           AS flag_mean_word_len,
+         punct > 0.20 AS flag_punct,
+         digit > 0.30 AS flag_digits
+  FROM s
+)
+SELECT *,
+       NOT (flag_too_short OR flag_too_long OR flag_mean_word_len
+            OR flag_punct OR flag_digits) AS passes
+FROM f
+"""
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 whitespace terms by term frequency with
+    document frequency — explode + two aggregates + deterministic total
+    order (tf desc, df desc, term asc).  At 10^12 docs this is the standard
+    two-level aggregation: partial maps combine per partition before the
+    single term-keyed exchange."""
+    from camden_spark.functions.text import WS_CLASS
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), WS_CLASS + "+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    return vocab.orderBy(
+        F.desc("tf"), F.desc("df"), F.asc("term")
+    ).limit(100)
+
+
+SQL_VOCAB_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \\t\\n\\f\\r]+'))
+           AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM toks WHERE term <> ''
+GROUP BY term
+ORDER BY tf DESC, df DESC, term ASC
+LIMIT 100
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
     vecs = _embeddings(spark, sf_dir)
@@ -1277,6 +1449,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "lang_breakdown": q_lang_breakdown,
     "events_agg": q_events_agg,
+    "session_stats": q_session_stats,
+    "events_asof": q_events_asof,
+    "quality_filter": q_quality_filter,
+    "vocab_top_terms": q_vocab_top_terms,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1313,6 +1489,10 @@ ORACLE_SQL: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "lang_breakdown": SQL_LANG_BREAKDOWN,
     "events_agg": SQL_EVENTS_AGG,
+    "session_stats": SQL_SESSION_STATS,
+    "events_asof": SQL_EVENTS_ASOF,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_ivf": SQL_ANN_TOPK,  # exhaustive probe ≡ brute force
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,

@@ -88,6 +88,60 @@ def with_text_stats(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def with_quality_flags(
+    df: DataFrame,
+    col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.20,
+    max_digit_ratio: float = 0.30,
+) -> DataFrame:
+    """Gopher-style hard quality rules (Rae et al. 2021, "Scaling Language
+    Models", §A1.1 filter family) as boolean flag columns + a combined
+    ``passes`` verdict.  All flags are codegen'd builtins sharing the pinned
+    ``WS_CLASS``/``PUNCT_CLASS``/``DIGIT_CLASS`` regexes, so the DuckDB
+    oracle can state each rule verbatim.
+
+    Flags are failure-positive (True = rule violated) so downstream can
+    report per-rule drop counts — the counted-not-silent drop discipline the
+    rest of the engine follows (e.g. mega-band caps, lsh.py).
+    """
+    n_chars = F.length(F.col(col)).cast("long")
+    n_words = token_count(col)
+    mean_wl = F.when(
+        n_words > 0, n_chars.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    punct = _ratio(PUNCT_CLASS, col)
+    digit = _ratio(DIGIT_CLASS, col)
+    too_short = n_words < min_words
+    too_long = n_words > max_words
+    bad_mean_wl = (n_words > 0) & (
+        (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)
+    )
+    too_much_punct = punct > max_punct_ratio
+    too_many_digits = digit > max_digit_ratio
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("flag_too_short", too_short)
+        .withColumn("flag_too_long", too_long)
+        .withColumn("flag_mean_word_len", bad_mean_wl)
+        .withColumn("flag_punct", too_much_punct)
+        .withColumn("flag_digits", too_many_digits)
+        .withColumn(
+            "passes",
+            ~(
+                too_short
+                | too_long
+                | bad_mean_wl
+                | too_much_punct
+                | too_many_digits
+            ),
+        )
+    )
+
+
 def lang_id_udf() -> "F.pandas_udf":
     """Vectorized stopword-profile language classifier → 2-letter code or
     'und'.  Deterministic; ties broken by language-code order (later code

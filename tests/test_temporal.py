@@ -1,0 +1,168 @@
+"""Sessionization + as-of join (operators/temporal.py) vs brute-force
+pure-Python oracles, plus parallelism-invariance and quality/vocab checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from camden_spark.functions.text import with_quality_flags
+from camden_spark.operators.temporal import asof_join, session_stats, sessionize
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _mk_events(n: int, n_users: int, seed: int):
+    """Deterministic synthetic events: (event_id, user_id, ts, value)."""
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                rng.randrange(n_users),
+                EPOCH + dt.timedelta(seconds=rng.randrange(0, 3_000_000)),
+                round(rng.uniform(0, 100), 2),
+                rng.choice(["click", "purchase", "view"]),
+            )
+        )
+    return rows
+
+
+COLS = ["event_id", "user_id", "ts", "value", "event_type"]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    df = spark.createDataFrame(_mk_events(2000, 25, seed=11), COLS)
+    df.cache().count()
+    return df
+
+
+def _oracle_sessions(rows, gap_seconds):
+    """Brute-force per-user pass in time order → {(event_id): session_idx}."""
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r[1], []).append(r)
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r[2], r[0]))
+        idx = -1
+        prev = None
+        for r in evs:
+            if prev is None or (r[2] - prev).total_seconds() > gap_seconds:
+                idx += 1
+            out[r[0]] = idx
+            prev = r[2]
+    return out
+
+
+def test_sessionize_matches_bruteforce(spark, events):
+    gap = 3600
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(events, gap).select("event_id", "session_idx").collect()
+    }
+    want = _oracle_sessions(_mk_events(2000, 25, seed=11), gap)
+    assert got == want
+
+
+def test_sessionize_parallelism_invariant(spark, events):
+    gap = 3600
+    a = sessionize(events.repartition(2), gap)
+    b = sessionize(events.repartition(16), gap)
+    rows_a = sorted(map(tuple, a.select("event_id", "session_idx").collect()))
+    rows_b = sorted(map(tuple, b.select("event_id", "session_idx").collect()))
+    assert rows_a == rows_b
+
+
+def test_session_stats_shape(spark, events):
+    st = session_stats(sessionize(events, 3600))
+    row = st.agg(
+        F.sum("n_events").alias("total"), F.min("duration_sec").alias("mind")
+    ).first()
+    assert row["total"] == events.count()  # every event lands in one session
+    assert row["mind"] >= 0.0
+
+
+def _oracle_asof(left_rows, right_rows):
+    """Per-left-row scan for the latest right at or before it (same key)."""
+    by_user: dict = {}
+    for r in right_rows:
+        by_user.setdefault(r[1], []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: r[2])
+    out = {}
+    for l in left_rows:
+        best = None
+        for r in by_user.get(l[1], []):
+            if r[2] <= l[2]:
+                best = r
+            else:
+                break
+        out[l[0]] = best[3] if best is not None else None
+    return out
+
+
+def test_asof_join_matches_bruteforce(spark, events):
+    rows = _mk_events(2000, 25, seed=11)
+    left = events.filter(F.col("event_type") == "click")
+    right = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    want = _oracle_asof(
+        [r for r in rows if r[4] == "click"],
+        [r for r in rows if r[4] == "purchase"],
+    )
+    assert got == want
+    # some lefts must have matches and some must not, or the test is vacuous
+    vals = list(want.values())
+    assert any(v is None for v in vals) and any(v is not None for v in vals)
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    ts = EPOCH + dt.timedelta(seconds=100)
+    left = spark.createDataFrame([(1, 7, ts)], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(7, ts, 42.0)], ["user_id", "ts", "value"])
+    [row] = asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    assert row["value_asof"] == 42.0  # right at the SAME instant matches (<=)
+
+
+def test_asof_join_keeps_unmatched_lefts(spark):
+    left = spark.createDataFrame(
+        [(1, 7, EPOCH)], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(7, EPOCH + dt.timedelta(seconds=1), 1.0)], ["user_id", "ts", "value"]
+    )
+    [row] = asof_join(left, right, "user_id", "ts", ["value"]).collect()
+    assert row["value_asof"] is None and row["asof_ts"] is None
+
+
+def test_quality_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a solid document with enough plain words to pass the rules"),
+            (1, "too short"),
+            (2, "!!! ??? ... ;;; ::: ,,, toomuchpunct !!! ??? ... ;;; :::"),
+            (3, "1234 5678 90123 45678 901234 numbers numbers 99999 88888"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["passes"], r["flag_too_short"], r["flag_punct"], r["flag_digits"])
+        for r in with_quality_flags(docs).collect()
+    }
+    assert got[0] == (True, False, False, False)
+    assert got[1][1] is True and got[1][0] is False  # too short
+    assert got[2][2] is True and got[2][0] is False  # punct-heavy
+    assert got[3][3] is True and got[3][0] is False  # digit-heavy
+    assert got[4][1] is True  # empty = 0 words = too short
