@@ -166,3 +166,57 @@ def test_quality_flags(spark):
     assert got[2][2] is True and got[2][0] is False  # punct-heavy
     assert got[3][3] is True and got[3][0] is False  # digit-heavy
     assert got[4][1] is True  # empty = 0 words = too short
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Two-file availableNow stream (maxFilesPerTrigger=1 → two microbatches
+    + a no-data finalization batch): sessions close EITHER by a later event
+    of the same user (A1) or by the event-time watermark passing last+gap
+    (B1, C1); the session still inside the watermark at stream end (A2)
+    stays in state, unemitted — append-mode contract."""
+    from camden_spark.streaming.session_stream import streaming_sessionize
+
+    def ev(user, sec, val):
+        return (user, EPOCH + dt.timedelta(seconds=sec), float(val))
+
+    cols = ["user_id", "ts", "value"]
+    chunk1 = spark.createDataFrame(
+        [ev(1, 0, 1.0), ev(1, 100, 2.0), ev(1, 200, 3.0),   # A1
+         ev(2, 0, 5.0), ev(2, 50, 6.0),                     # B1
+         ev(3, 5000, 7.0)],                                 # C1 (+ wm push)
+        cols,
+    )
+    chunk2 = spark.createDataFrame(
+        [ev(1, 10000, 8.0), ev(1, 10100, 9.0)],             # A2 (stays open)
+        cols,
+    )
+    src = tmp_path / "sess_src"
+    chunk1.coalesce(1).write.parquet(str(src / "f1"))
+    chunk2.coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(chunk1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = streaming_sessionize(stream, gap_seconds=600, watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["start_us"], r["end_us"], r["n_events"], r["total_value"])
+        for r in spark.sql("select * from sess_stream_test").collect()
+    }
+    us = 1_000_000
+    base = int(EPOCH.replace(tzinfo=dt.timezone.utc).timestamp()) * us
+    assert got == {
+        1: (base, base + 200 * us, 3, 6.0),          # A1 closed by A2's event
+        2: (base, base + 50 * us, 2, 11.0),          # B1 closed by timeout
+        3: (base + 5000 * us, base + 5000 * us, 1, 7.0),  # C1 closed by no-data batch
+    }
