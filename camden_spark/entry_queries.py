@@ -91,6 +91,11 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # naive parquet TIMESTAMP must be read as UTC wall-clock so that
+    # NTZ→TIMESTAMP casts (and pandas round-trips in stateful streaming)
+    # yield the same epoch micros DuckDB's epoch_us sees — the engine's own
+    # session (session.py) pins this; pin it here too for foreign sessions
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
@@ -1382,6 +1387,90 @@ SELECT DISTINCT sha256(text) AS checksum FROM documents
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator, driver-verified: gap-based
+    sessionization via ``applyInPandasWithState`` with EventTimeTimeout
+    (streaming/session_stream.py), run availableNow over the events table.
+
+    The emitted-session set is deterministic and SQL-statable.  One data
+    microbatch closes every session that a later event of the same user
+    reopens past the gap; the finalization (no-data) batch then fires
+    event-time timeouts, which Spark triggers when the state's timeout
+    timestamp (end_ms + gap_ms) is STRICTLY below the final watermark
+    (max event time, ms-floored; delay 0).  So the oracle is: all batch
+    sessions EXCEPT each user's last one when end_ms + gap_ms >= max_ms —
+    i.e. the session the watermark cannot yet prove closed stays in state,
+    exactly the append-mode contract."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from camden_spark.streaming.session_stream import streaming_sessionize
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = _events(spark, sf_dir)  # also pins session tz = UTC
+    stream_dir = tempfile.mkdtemp(prefix="sess_src_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "part-0.parquet"))
+    stream = spark.readStream.schema(static.schema).parquet(stream_dir)
+    out = streaming_sessionize(
+        # watermarks require TIMESTAMP; under UTC the NTZ cast reinterprets
+        # the same wall-clock instant (no shift)
+        stream.select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ),
+        gap_seconds=21600,
+        watermark="0 seconds",
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt_dir = tempfile.mkdtemp(prefix="sess_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming_sessions did not finish within 300s")
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.table(name).select(
+        "user_id", "start_us", "end_us", "n_events", "total_value"
+    )
+
+
+SQL_STREAMING_SESSIONS = """
+WITH t AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+), s AS (
+  SELECT *,
+         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 21600000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM t
+), sess AS (
+  SELECT user_id, session_idx,
+         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         COUNT(*) AS n_events, round(SUM(value), 4) AS total_value,
+         MAX(session_idx) OVER (PARTITION BY user_id) AS last_idx
+  FROM s GROUP BY user_id, session_idx
+)
+SELECT user_id, start_us, end_us, n_events, total_value
+FROM sess
+WHERE NOT (session_idx = last_idx
+           AND end_us // 1000 + 21600000
+               >= (SELECT MAX(epoch_us(ts)) // 1000 FROM events))
+"""
+
+
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multimodal decode path, driver-verified end to end: synthesize
     netpbm image payloads from doc_ids (pattern = doc_id % 25, brightness
@@ -1464,6 +1553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_phash_pairs": q_media_phash_pairs,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_sessions": q_streaming_sessions,
     "minhash_signatures_bounded": q_minhash_signatures_bounded,
     "lsh_pairs_bounded": q_lsh_pairs_bounded,
     "simhash_pairs_bounded": q_simhash_pairs_bounded,
@@ -1504,6 +1594,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_sessions": SQL_STREAMING_SESSIONS,
     "minhash_signatures_bounded": SQL_MINHASH_SIGNATURES_BOUNDED,
     "lsh_pairs_bounded": SQL_LSH_PAIRS_BOUNDED,
     "simhash_pairs_bounded": SQL_SIMHASH_PAIRS_BOUNDED,
