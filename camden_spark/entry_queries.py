@@ -551,6 +551,60 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (operators/decontam.py): treat the
+    deterministic slice doc_id % 7 == 3 (sized so it intersects the corpus
+    dup clusters — real eval sets are far smaller, which only strengthens
+    the broadcast story) as the EVAL BENCHMARK and the
+    rest as the training corpus; flag corpus docs containing ≥ 50% of a
+    benchmark doc's distinct word-5-gram shingles.  Inverted-index plan:
+    broadcast the tiny benchmark shingle index, ONE sparse shuffle — never
+    corpus × benchmark pairs."""
+    from camden_spark.operators.decontam import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
+    is_bench = F.col("doc_id") % 7 == 3
+    bench = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "shingles"
+    )
+    corpus = sh.filter(~is_bench)
+    return decontaminate(corpus, bench, min_containment=0.5)
+
+
+SQL_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, {_SHINGLES_5GRAM_SQL} AS shingles FROM toks
+),
+ga AS (
+  SELECT doc_id, len(shingles) AS na, unnest(shingles) AS g
+  FROM sh WHERE doc_id % 7 <> 3
+),
+gb AS (
+  SELECT doc_id AS bench_id, len(shingles) AS nb, unnest(shingles) AS g
+  FROM sh WHERE doc_id % 7 = 3
+),
+hits AS (
+  SELECT doc_id, bench_id, any_value(na) AS na, any_value(nb) AS nb,
+         COUNT(*) AS inter
+  FROM ga JOIN gb USING (g)
+  GROUP BY doc_id, bench_id
+)
+SELECT doc_id, bench_id, inter,
+       round(CAST(inter AS DOUBLE) / nb, 6) AS containment,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM hits
+WHERE CAST(inter AS DOUBLE) / nb >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check; semantics verified in
 # tests/ against the pure-Python oracle)
@@ -1546,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
+    "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "doc_fingerprints": q_doc_fingerprints,
@@ -1587,6 +1642,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_topk_ivf": SQL_ANN_TOPK,  # exhaustive probe ≡ brute force
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,

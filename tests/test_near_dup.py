@@ -243,3 +243,38 @@ def test_pipeline_parallelism_invariance(spark, pages_df):
     c1 = sorted(map(tuple, r1.clusters.collect()))
     c16 = sorted(map(tuple, r16.clusters.collect()))
     assert c1 == c16
+
+
+def test_decontaminate_planted(spark):
+    """Planted leakage: corpus doc 10 embeds ALL of benchmark doc 0's text
+    (containment 1.0); doc 11 embeds about half of it; doc 12 is unrelated.
+    Only the >= 0.5-containment docs are flagged, and the benchmark shingle
+    index is broadcast (inverted index, never corpus x benchmark pairs)."""
+    import pyspark.sql.functions as F
+
+    from camden_spark.entry_queries import _word_5gram_shingles
+    from camden_spark.operators.decontam import decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(20))       # 16 shingles
+    half_text = " ".join(f"tok{i}" for i in range(12))        # 8 of them
+    rows = [
+        (10, "prefix words here " + bench_text + " suffix trailer"),
+        (11, "lead in " + half_text + " unrelated tail words continue on"),
+        (12, "completely different content with no overlap at all here"),
+    ]
+    sh = (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .select("doc_id", _word_5gram_shingles("t").alias("shingles"))
+    )
+    bench = (
+        spark.createDataFrame([(0, bench_text)], ["bench_id", "text"])
+        .select("bench_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .select("bench_id", _word_5gram_shingles("t").alias("shingles"))
+    )
+    out = decontaminate(sh, bench, min_containment=0.5)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {10, 11}
+    assert got[10]["containment"] == 1.0
+    assert 0.5 <= got[11]["containment"] < 1.0
