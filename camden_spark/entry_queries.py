@@ -1192,6 +1192,50 @@ FROM documents
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.py): next-fit layout of
+    every doc's whitespace-token count into 256-token bins across 8 shards.
+    The shuffle carries only (doc_id, n_tokens); the sequential fold is the
+    per-shard pandas group.  Oracle: per-shard recursive CTE stating the
+    same reset-cumsum."""
+    from camden_spark.functions.text import token_count
+    from camden_spark.operators.packing import pack_sequences
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, capacity=256, n_shards=8)
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '{_WS_SQL}+'))
+              END AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS BIGINT) AS shard
+  FROM documents
+), ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM toks
+), packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS pos,
+         n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens <= 256 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 256 THEN p.pos + 1
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens
+              ELSE o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin, pos, n_tokens FROM packed
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -1603,6 +1647,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
+    "pack_sequences": q_pack_sequences,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
@@ -1645,6 +1690,7 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": SQL_DECONTAMINATE,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,

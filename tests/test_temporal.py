@@ -220,3 +220,34 @@ def test_streaming_sessionize(spark, tmp_path):
         2: (base, base + 50 * us, 2, 11.0),          # B1 closed by timeout
         3: (base + 5000 * us, base + 5000 * us, 1, 7.0),  # C1 closed by no-data batch
     }
+
+
+def test_pack_sequences_invariants(spark):
+    """Next-fit layout: no bin exceeds capacity unless it holds exactly one
+    oversize doc; positions are dense per bin; layout is partition-count
+    invariant (the sandbox stand-in for executor-count invariance)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from camden_spark.operators.packing import pack_sequences
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice([3, 40, 90, 130, 300])) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = pack_sequences(docs, capacity=256, n_shards=4)
+    got = out.collect()
+    assert len(got) == 400
+    by_bin = {}
+    for r in got:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    for (shard, b), members in by_bin.items():
+        total = sum(r["n_tokens"] for r in members)
+        if total > 256:
+            assert len(members) == 1 and members[0]["n_tokens"] > 256
+        assert sorted(r["pos"] for r in members) == list(range(len(members)))
+        # within a bin, id order == pos order (deterministic next-fit scan)
+        ordered = sorted(members, key=lambda r: r["doc_id"])
+        assert [r["pos"] for r in ordered] == list(range(len(members)))
+    again = pack_sequences(docs.repartition(13), capacity=256, n_shards=4)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
