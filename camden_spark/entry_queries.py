@@ -1236,6 +1236,66 @@ SELECT doc_id, shard, bin, pos, n_tokens FROM packed
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/text.py:repetition_stats):
+    mode-token / mode-bigram share and immediate-stutter fraction per doc —
+    the webtext repetition-removal gate.  Mode needs per-(doc, term) counts,
+    so the plan is two token-granular map-side-combined shuffles; run_frac
+    never leaves the row."""
+    from camden_spark.functions.text import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') END AS t
+  FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, u, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS u FROM toks) GROUP BY doc_id, u
+),
+tok_mode AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+  FROM tok_counts GROUP BY doc_id
+),
+bigs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         END AS bg
+  FROM toks
+),
+big_counts AS (
+  SELECT doc_id, u, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS u FROM bigs) GROUP BY doc_id, u
+),
+big_mode AS (
+  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+  FROM big_counts GROUP BY doc_id
+),
+runs AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) < 2 THEN NULL
+              ELSE CAST(list_sum(list_transform(range(1, len(t)),
+                     i -> CASE WHEN t[i] = t[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)
+                   / (len(t) - 1)
+         END AS run_frac
+  FROM toks
+)
+SELECT r.doc_id, r.n_tokens,
+       round(tm.top_token_frac, 6) AS top_token_frac,
+       round(bm.top_bigram_frac, 6) AS top_bigram_frac,
+       round(r.run_frac, 6) AS run_frac
+FROM runs r
+LEFT JOIN tok_mode tm USING (doc_id)
+LEFT JOIN big_mode bm USING (doc_id)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -1648,6 +1708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "pack_sequences": q_pack_sequences,
+    "repetition_stats": q_repetition_stats,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
@@ -1691,6 +1752,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "repetition_stats": SQL_REPETITION_STATS,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,

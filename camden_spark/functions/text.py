@@ -203,3 +203,84 @@ def bpe_piece_count(col: str = "text") -> Column:
 def doc_fingerprint(col: str = "text") -> Column:
     """64-bit whole-document fingerprint — builtin xxhash64 (seed 42)."""
     return F.xxhash64(F.col(col)).alias("fingerprint")
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 "repetition removal" — the standard webtext quality gate this
+    engine's quality_filter complements):
+
+    * ``top_token_frac``  — most-frequent token's share of all tokens
+      (mode fraction; boilerplate/keyword stuffing),
+    * ``top_bigram_frac`` — most-frequent bigram's share of all bigrams,
+    * ``run_frac``        — fraction of tokens equal to their predecessor
+      (immediate stutter: "batch batch batch").
+
+    Scale shape: mode requires a per-(doc, term) count, so the plan is
+    explode → partial-agg groupBy(doc, term) → groupBy(doc) max/sum —
+    token-granular shuffles with map-side combine, the same shape a corpus
+    TF job has; ``run_frac`` never leaves the row (zip_with + aggregate,
+    pure JVM).  Short docs: fractions are NULL when the denominator is 0
+    (no tokens / no bigrams), never a divide-by-zero.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        )
+        .otherwise(F.split(F.trim(F.lower(text_col)), WS_CLASS + "+"))
+        .alias("t"),
+    )
+
+    def mode_frac(unit_col: DataFrame, out_name: str) -> DataFrame:
+        counts = unit_col.groupBy(id_col, "u").agg(F.count("*").alias("c"))
+        return counts.groupBy(id_col).agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                out_name
+            )
+        )
+
+    tok_units = toks.select(id_col, F.explode("t").alias("u"))
+    big_units = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("t") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("u"),
+    )
+    runs = toks.select(
+        id_col,
+        F.size("t").cast("long").alias("n_tokens"),
+        F.when(F.size("t") < 2, F.lit(None).cast("double")).otherwise(
+            F.aggregate(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: (a == b).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / (F.size("t") - 1).cast("double")
+        ).alias("run_frac"),
+    )
+    return (
+        runs.join(mode_frac(tok_units, "top_token_frac"), id_col, "left")
+        .join(mode_frac(big_units, "top_bigram_frac"), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("top_token_frac", 6).alias("top_token_frac"),
+            F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+            F.round("run_frac", 6).alias("run_frac"),
+        )
+    )

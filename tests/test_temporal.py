@@ -251,3 +251,33 @@ def test_pack_sequences_invariants(spark):
         assert [r["pos"] for r in ordered] == list(range(len(members)))
     again = pack_sequences(docs.repartition(13), capacity=256, n_shards=4)
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_repetition_stats_planted(spark):
+    """Known fractions: "a a a b" -> top_token 3/4, run 2/3; degenerate docs
+    (empty, single-token) produce NULL fractions, not divide-by-zero."""
+    from camden_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "a a a b"),
+        (2, "x y x y"),   # top token 1/2, top bigram "x y" 2/3, runs 0
+        (3, "solo"),
+        (4, "   "),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_token_frac"] == 0.75
+    assert got[1]["top_bigram_frac"] == round(2 / 3, 6)  # "a a" twice of 3
+    assert got[1]["run_frac"] == round(2 / 3, 6)
+    assert got[2]["top_token_frac"] == 0.5
+    assert got[2]["top_bigram_frac"] == round(2 / 3, 6)
+    assert got[2]["run_frac"] == 0.0
+    assert got[3]["n_tokens"] == 1 and got[3]["run_frac"] is None
+    assert got[3]["top_token_frac"] == 1.0 and got[3]["top_bigram_frac"] is None
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["top_token_frac"] is None and got[4]["run_frac"] is None
