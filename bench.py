@@ -33,6 +33,11 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_ivf",
     "media_phash_pairs",
+    # added in round 3 (absent from BENCH_r01/r02 totals — cross-round
+    # comparisons must use the shared-query subset, see BENCH/r2_vs_r3.json)
+    "decontaminate",
+    "pack_sequences",
+    "repetition_stats",
 ]
 
 

@@ -1296,6 +1296,130 @@ LEFT JOIN big_mode bm USING (doc_id)
 """
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the webtext scrub step.  The corpus is
+    synthetic word-salad with no organic PII, so the query PLANTS
+    deterministic emails/phones/IPs derived from doc_id (the same
+    synthesize-from-the-input pattern the media queries use), then runs the
+    production regex scrub: count occurrences, replace with typed tags,
+    fingerprint the redacted text.  All codegen builtins (regexp_count /
+    regexp_replace) — patterns are pinned ASCII classes, identical under
+    Java regex and RE2/DuckDB."""
+    docs = _documents(spark, sf_dir)
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" tel +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\+1-555-[0-9]{4}"
+    ip = r"10\.0\.[0-9]{1,3}\.[0-9]{1,3}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii_text, F.lit(email), F.lit("<EMAIL>")),
+            F.lit(phone),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(ip),
+        F.lit("<IP>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(pii_text, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(pii_text, F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_count(pii_text, F.lit(ip)).cast("long").alias("n_ips"),
+        F.sha2(redacted, 256).alias("redacted_sha256"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END AS pii_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '\+1-555-[0-9]{4}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(pii_text,
+            '10\.0\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       sha256(regexp_replace(regexp_replace(regexp_replace(pii_text,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '10\.0\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_sha256
+FROM p
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based stratified sampling — the token-budget
+    downsampling step of a data mix.  Keep a doc iff the first 32 bits of
+    sha256('sample:' || doc_id), as a uniform u32, fall under its language's
+    rate (en 0.5, zh 0.1, else 0.25).  A pure FILTER: no shuffle, no count
+    pass, no RNG state — the sample is a deterministic function of the row,
+    so it is identical across reruns, partitionings and cluster sizes, and
+    any executor can decide membership locally (the property rand(seed)
+    does NOT have under re-partitioning)."""
+    docs = _documents(spark, sf_dir)
+    u32 = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.5))
+        .when(F.col("lang") == "zh", F.lit(0.1))
+        .otherwise(F.lit(0.25))
+    )
+    return docs.select(
+        "doc_id", "lang", u32.alias("sample_u32"), F.round(rate, 6).alias("rate")
+    ).filter(F.col("sample_u32").cast("double") < rate * F.lit(4294967296.0))
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS sample_u32,
+         CASE WHEN lang = 'en' THEN 0.5
+              WHEN lang = 'zh' THEN 0.1 ELSE 0.25 END AS r
+  FROM documents
+)
+SELECT doc_id, lang, sample_u32, round(CAST(r AS DOUBLE), 6) AS rate
+FROM h WHERE CAST(sample_u32 AS DOUBLE) < r * 4294967296.0
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return docs.select(
@@ -1709,6 +1833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
     "media_phash_pairs": q_media_phash_pairs,
@@ -1753,6 +1879,8 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "repetition_stats": SQL_REPETITION_STATS,
+    "pii_redact": SQL_PII_REDACT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
     "media_phash_pairs": SQL_MEDIA_PHASH_PAIRS,
