@@ -68,6 +68,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # shuffle local dirs on tmpfs when available: the sandbox's single
+    # virtual disk otherwise adds device contention a multi-node cluster
+    # (per-node SSDs) does not have — same rationale/measurement as
+    # bench_scaling.run_once (must be set before the JVM starts)
+    if os.path.isdir("/dev/shm") and "SPARK_LOCAL_DIRS" not in os.environ:
+        shm = "/dev/shm/spark_local"
+        os.makedirs(shm, exist_ok=True)
+        os.environ["SPARK_LOCAL_DIRS"] = shm
+
     from camden_spark.entry_queries import QUERIES
     from camden_spark.session import get_spark
 

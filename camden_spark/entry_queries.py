@@ -1296,6 +1296,43 @@ LEFT JOIN big_mode bm USING (doc_id)
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution (median/p90/p99) — the corpus
+    profiling step before choosing packing capacity / truncation budgets.
+    EXACT percentiles (Spark ``percentile``, continuous interpolation ==
+    DuckDB ``quantile_cont``), not approx_percentile: at 5 groups the sort
+    is per-group-partial and the exactness buys a hash-checkable oracle.
+    At a 100 TB corpus swap in approx_percentile(t-digest) — same plan
+    shape, sketch mergeable map-side."""
+    from camden_spark.functions.text import token_count
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select("lang", token_count("text").alias("n"))
+    pct = F.expr("percentile(n, array(0.5, 0.9, 0.99))")
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(pct[0], 4).alias("p50_tokens"),
+        F.round(pct[1], 4).alias("p90_tokens"),
+        F.round(pct[2], 4).alias("p99_tokens"),
+    )
+
+
+SQL_LENGTH_QUANTILES = rf"""
+WITH toks AS (
+  SELECT lang,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '{_WS_SQL}+'))
+              END AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       round(quantile_cont(n, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n, 0.99), 4) AS p99_tokens
+FROM toks GROUP BY lang
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction — the webtext scrub step.  The corpus is
     synthetic word-salad with no organic PII, so the query PLANTS
@@ -1834,6 +1871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
+    "length_quantiles": q_length_quantiles,
     "stratified_sample": q_stratified_sample,
     "doc_fingerprints": q_doc_fingerprints,
     "media_features": q_media_features,
@@ -1880,6 +1918,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_redact": SQL_PII_REDACT,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "media_features": SQL_MEDIA_FEATURES,
