@@ -36,39 +36,66 @@ _SIG_SCHEMA = StructType(
     ]
 )
 
+_SIG_SCHEMA_NO_SHINGLES = StructType(
+    [
+        StructField("n_shingles", LongType(), False),
+        StructField("minhash", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+    ]
+)
+
 
 def _signature_batches(
-    cfg: DedupConfig,
+    cfg: DedupConfig, include_shingles: bool = True
 ) -> "F.pandas_udf":
     k, perms, seed = cfg.shingle_k, cfg.minhash_perms, cfg.minhash_seed
 
-    @F.pandas_udf(_SIG_SCHEMA)
+    # Catalyst cannot prune struct fields out of a UDF's Arrow transfer, so
+    # a caller that drops `shingles` right away (the pipeline caches only
+    # minhash+simhash) would still ship ~1.6 KB/row of shingle hashes
+    # through the worker socket — ~60% of the stage's return bytes.  Large
+    # in-flight bursts are also what arms the JVM<->worker socket flow-
+    # control stall (see session.py SPARK_GRAFT_ARROW_BATCH note).
+    schema = _SIG_SCHEMA if include_shingles else _SIG_SCHEMA_NO_SHINGLES
+
+    @F.pandas_udf(schema)
     def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in it:
             # one flat pass over the whole Arrow batch — no per-token Python
             flat, counts = batch_shingle_hashes(texts, k)
             mh = minhash_flat(flat, counts, perms, seed).view(np.int64)
             sim = simhash_flat(flat, counts).view(np.int64)
-            per_doc = np.split(flat.view(np.int64), np.cumsum(counts)[:-1])
-            yield pd.DataFrame(
-                {"shingles": per_doc, "minhash": list(mh), "simhash": sim}
-            )
+            cols = {"minhash": list(mh), "simhash": sim}
+            if include_shingles:
+                per_doc = np.split(
+                    flat.view(np.int64), np.cumsum(counts)[:-1]
+                )
+                cols = {"shingles": per_doc, **cols}
+            else:
+                # callers still need the zero-shingle filter (B3 semantics)
+                cols = {"n_shingles": counts.astype(np.int64), **cols}
+            yield pd.DataFrame(cols)
 
     return sig_udf
 
 
 def with_signatures(
-    pages: DataFrame, cfg: DedupConfig | None = None, text_col: str = "norm_text"
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    text_col: str = "norm_text",
+    include_shingles: bool = True,
 ) -> DataFrame:
-    """Add ``shingles`` (distinct shingle hashes, array<long>), ``minhash``
-    (array<long>, len = cfg.minhash_perms) and ``simhash`` (long) columns."""
+    """Add ``shingles`` (distinct shingle hashes, array<long>, only when
+    ``include_shingles``), ``minhash`` (array<long>, len = cfg.minhash_perms)
+    and ``simhash`` (long) columns.  Pass ``include_shingles=False`` when the
+    caller only keeps minhash/simhash — struct fields of a UDF result are
+    NOT prunable by Catalyst, so opting out saves the Arrow wire bytes."""
     cfg = cfg or DedupConfig()
-    udf = _signature_batches(cfg)
+    udf = _signature_batches(cfg, include_shingles=include_shingles)
+    cols = ["minhash", "simhash"]
+    cols = (["shingles"] if include_shingles else ["n_shingles"]) + cols
     return pages.withColumn("_sig", udf(F.col(text_col))).select(
-        "*",
-        F.col("_sig.shingles").alias("shingles"),
-        F.col("_sig.minhash").alias("minhash"),
-        F.col("_sig.simhash").alias("simhash"),
+        "*", *[F.col(f"_sig.{c}").alias(c) for c in cols]
     ).drop("_sig")
 
 

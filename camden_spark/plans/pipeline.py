@@ -212,8 +212,15 @@ class DedupPipeline:
             sig = track_cache(
                 staged(
                     "signatures",
-                    lambda: with_signatures(distinct_pages, cfg)
-                    .filter(F.size("shingles") > 0)
+                    # include_shingles=False: only (minhash, simhash) cross
+                    # the Arrow wire — the shingle arrays (~60% of the
+                    # stage's bytes) are recomputed later for just the docs
+                    # in candidate pairs, and oversized in-flight bursts arm
+                    # the JVM↔worker socket flow-control stall (session.py)
+                    lambda: with_signatures(
+                        distinct_pages, cfg, include_shingles=False
+                    )
+                    .filter(F.col("n_shingles") > 0)
                     .select("url", "minhash", "simhash"),
                     upstream=["exact"],
                 )

@@ -42,9 +42,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 512 (was 2048): a pandas-UDF stage streams Arrow batches BOTH ways
+        # over one loopback socket, and the task thread multiplexes write-
+        # input/read-output.  When a single batch direction exceeds the
+        # socket buffers (2048 rows × ~1.6 KB text in / ~1 KB signature out
+        # ≈ 3-4 MB vs ~4 MB auto-tuned buffers), both windows can fill and
+        # progress degrades to TCP persist-timer probes — observed as
+        # multi-minute single-task stalls (thread dump: JVM in
+        # PythonRunner.ReaderInputStream epoll, worker in tcp_sendmsg
+        # sk_stream_wait_memory, 4.2 MB stuck in each Send-Q).  512-row
+        # batches keep any burst ≲1 MB so the multiplexer always drains.
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"),
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -54,6 +64,15 @@ def get_spark(
         # fans out across all cores (sized for text-heavy rows)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    # profiling hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> writes Spark event logs
+    # there (stage/task timelines) — used by tools/stage_profile.py to find
+    # under-parallelized stages; zero overhead when unset
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", ev_dir
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
