@@ -551,6 +551,91 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production shape where a NEW BATCH
+    lands against an EXISTING INDEX (docs already admitted): drop batch
+    docs that are exact dups (sha256 anti-join against the index's
+    checksum set) or near-dups (word-5-gram Jaccard ≥ 0.5 vs an index doc,
+    via the same inverted-index plan as decontaminate — batch explodes
+    once, joins the index's shingle postings, ONE sparse shuffle; the
+    index side of a real deployment is the pre-computed posting table, so
+    nothing here rescans admitted docs' text).  Emits the ADMITTED rows.
+    Index = doc_id < 250, batch = doc_id ≥ 250 (deterministic split)."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("checksum"),
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+    ).select(
+        "doc_id", "checksum", _word_5gram_shingles("t").alias("shingles")
+    )
+    index = toks.filter(F.col("doc_id") < 250)
+    batch = toks.filter(F.col("doc_id") >= 250)
+    # exact pass: checksum anti-join (broadcast — the index checksum SET is
+    # compact; at 10^12 docs this becomes a shuffled anti-join, same plan)
+    survivors = batch.join(
+        F.broadcast(index.select("checksum").distinct()), "checksum", "left_anti"
+    )
+    ga = survivors.select(
+        "doc_id", F.size("shingles").alias("na"), F.explode("shingles").alias("g")
+    )
+    gb = index.select(
+        F.col("doc_id").alias("index_id"),
+        F.size("shingles").alias("nb"),
+        F.explode("shingles").alias("g"),
+    )
+    near_hit = (
+        ga.join(F.broadcast(gb), "g")
+        .groupBy("doc_id", "index_id")
+        .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
+             F.count(F.lit(1)).alias("inter"))
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+            >= 0.5
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        survivors.join(near_hit, "doc_id", "left_anti")
+        .select("doc_id", "checksum")
+    )
+
+
+SQL_DEDUP_INCREMENTAL = rf"""
+WITH toks AS (
+  SELECT doc_id, sha256(text) AS checksum,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, checksum, {_SHINGLES_5GRAM_SQL} AS shingles FROM toks
+),
+idx AS (SELECT * FROM sh WHERE doc_id < 250),
+batch AS (SELECT * FROM sh WHERE doc_id >= 250),
+surv AS (
+  SELECT * FROM batch WHERE checksum NOT IN (SELECT checksum FROM idx)
+),
+ga AS (
+  SELECT doc_id, len(shingles) AS na, unnest(shingles) AS g FROM surv
+),
+gb AS (
+  SELECT doc_id AS index_id, len(shingles) AS nb, unnest(shingles) AS g
+  FROM idx
+),
+near_hit AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, index_id, any_value(na) AS na, any_value(nb) AS nb,
+           COUNT(*) AS inter
+    FROM ga JOIN gb USING (g) GROUP BY doc_id, index_id
+  ) WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+)
+SELECT doc_id, checksum FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM near_hit)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus decontamination (operators/decontam.py): treat the
     deterministic slice doc_id % 7 == 3 (sized so it intersects the corpus
@@ -1866,6 +1951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
+    "dedup_incremental": q_dedup_incremental,
     "lang_id": q_lang_id,
     "token_counts": q_token_counts,
     "pack_sequences": q_pack_sequences,
@@ -1913,6 +1999,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "decontaminate": SQL_DECONTAMINATE,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "lang_id": SQL_LANG_ID,
     "token_counts": SQL_TOKEN_COUNTS,
     "pack_sequences": SQL_PACK_SEQUENCES,
