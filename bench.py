@@ -38,6 +38,7 @@ HEADLINE = [
     "decontaminate",
     "pack_sequences",
     "repetition_stats",
+    "dedup_incremental",
 ]
 
 
