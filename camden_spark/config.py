@@ -69,6 +69,17 @@ class DedupConfig:
     min_overlap_frac: float = 0.5
     max_fingerprint_group: int = 200
 
+    # --- signature backend -----------------------------------------------
+    #: "jvm": shingles/MinHash/SimHash as pure Catalyst builtins (explode +
+    #: one codegen HashAggregate — zero python workers in the hot stage, the
+    #: fix for the measured JVM<->worker Arrow-socket task-time inflation
+    #: that broke 2->8 thread scaling in round 3).  "arrow": the vectorized
+    #: pandas-UDF kernel (functions/shingles.py).  Both compute the same
+    #: distinct 5-token-window shingle SETS (tested: exact Jaccard parity),
+    #: but the hash families differ, so cluster assignments are backend-keyed
+    #: — hence a config field (it feeds config_hash / checkpoint identity).
+    sig_backend: str = "jvm"
+
     # --- text normalization --------------------------------------------
     lowercase: bool = True
     collapse_whitespace: bool = True
@@ -93,6 +104,8 @@ class DedupConfig:
             )
         if self.checksum_algo not in ("sha256", "xxhash64"):
             raise ValueError(f"unknown checksum_algo {self.checksum_algo!r}")
+        if self.sig_backend not in ("jvm", "arrow"):
+            raise ValueError(f"unknown sig_backend {self.sig_backend!r}")
 
     def config_hash(self) -> str:
         """Stable hash of all semantic knobs — keys checkpoint manifests."""

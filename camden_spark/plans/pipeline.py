@@ -33,6 +33,7 @@ from camden_spark.operators.substr import (
     verify_pairs_substr,
     with_fingerprints,
 )
+from camden_spark.functions.jvm_sig import with_shingles_jvm, with_signatures_jvm
 from camden_spark.functions.shingles import with_shingles, with_signatures
 from camden_spark.plans.caches import (
     materialize_barrier,
@@ -198,6 +199,27 @@ class DedupPipeline:
 
         pair_frames = [exact_pairs]
 
+        # signature/shingle backend dispatch (cfg.sig_backend): "jvm" keeps
+        # the whole signature stage inside Catalyst codegen — no python
+        # workers, no JVM<->worker Arrow socket (the measured 2->8 scaling
+        # bottleneck); "arrow" is the vectorized pandas-UDF twin.
+        if cfg.sig_backend == "jvm":
+            def build_sig() -> DataFrame:
+                return with_signatures_jvm(distinct_pages, cfg).select(
+                    "url", "minhash", "simhash"
+                )
+
+            shingle_fn = with_shingles_jvm
+        else:
+            def build_sig() -> DataFrame:
+                return (
+                    with_signatures(distinct_pages, cfg, include_shingles=False)
+                    .filter(F.col("n_shingles") > 0)
+                    .select("url", "minhash", "simhash")
+                )
+
+            shingle_fn = with_shingles
+
         needs_sig = self.enable_lsh or self.enable_simhash
         if needs_sig:
             # cache only the fixed-width signatures; shingle-hash sets are
@@ -209,21 +231,11 @@ class DedupPipeline:
             # would otherwise band every empty page together (and flip with
             # corpus size once the mega-band cap kicks in).  They remain
             # singletons unless the exact stage clustered them byte-identical.
+            # (arrow path: include_shingles=False keeps the shingle arrays —
+            # ~60% of the stage's bytes — off the Arrow wire; oversized
+            # in-flight bursts arm the socket flow-control stall, session.py)
             sig = track_cache(
-                staged(
-                    "signatures",
-                    # include_shingles=False: only (minhash, simhash) cross
-                    # the Arrow wire — the shingle arrays (~60% of the
-                    # stage's bytes) are recomputed later for just the docs
-                    # in candidate pairs, and oversized in-flight bursts arm
-                    # the JVM↔worker socket flow-control stall (session.py)
-                    lambda: with_signatures(
-                        distinct_pages, cfg, include_shingles=False
-                    )
-                    .filter(F.col("n_shingles") > 0)
-                    .select("url", "minhash", "simhash"),
-                    upstream=["exact"],
-                )
+                staged("signatures", build_sig, upstream=["exact"])
             )
 
         if self.enable_lsh:
@@ -243,7 +255,7 @@ class DedupPipeline:
                     .union(cand.select(F.col("url_b").alias("url")))
                     .distinct()
                 )
-                sh = with_shingles(
+                sh = shingle_fn(
                     distinct_pages.join(pair_urls, "url", "left_semi"), cfg
                 )
                 return verify_pairs_jaccard(cand, sh, cfg)
