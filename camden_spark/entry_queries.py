@@ -58,6 +58,13 @@ _PAGES_CTE = """WITH pages AS (
 _PUNCT_SQL = r"""'[.,!?;:''"()\[\]{}<>/@#$%^&*_+=~`|\\-]'"""
 _DIGIT_SQL = "'[0-9]'"
 
+#: whitespace class pinned verbatim with functions/text.py:WS_CLASS — Java's
+#: \s includes \x0B (vertical tab), RE2's does not, so every tokenizing query
+#: states this explicit class on BOTH engines instead of \s
+_WS_SQL = r"[ \t\n\f\r]"
+#: the Spark-side twin (functions/text.py:WS_CLASS re-exported for splits)
+from camden_spark.functions.text import WS_CLASS as _WS  # noqa: E402
+
 
 def _word_5gram_shingles(toks_col: str = "t"):
     """Distinct word-5-gram shingles of a token-array column — the exact
@@ -330,8 +337,14 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    # asof_join documents a uniqueness precondition on the right side's
+    # (user_id, ts): enforce it deterministically (max value per instant) so
+    # duplicate purchase timestamps can never make last-over-window pick an
+    # arbitrary row and drift from the DuckDB ASOF oracle
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     out = asof_join(clicks, purchases, "user_id", "ts", ["value"])
     return out.select(
@@ -345,7 +358,8 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_ASOF = """
 WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-     r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+     r AS (SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id, ts)
 SELECT l.event_id, l.user_id,
        epoch_us(l.ts) AS ts_us,
        epoch_us(r.ts) AS asof_ts,
@@ -514,7 +528,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM array builtins (transform/slice/array_intersect/array_union)."""
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
     sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
@@ -535,7 +549,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_NGRAM_JACCARD = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
   FROM documents WHERE doc_id < 40
 ),
 sh AS (
@@ -565,16 +579,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.sha2("text", 256).alias("checksum"),
-        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        F.split(F.trim(F.lower("text")), _WS + "+").alias("t"),
     ).select(
         "doc_id", "checksum", _word_5gram_shingles("t").alias("shingles")
     )
     index = toks.filter(F.col("doc_id") < 250)
     batch = toks.filter(F.col("doc_id") >= 250)
-    # exact pass: checksum anti-join (broadcast — the index checksum SET is
-    # compact; at 10^12 docs this becomes a shuffled anti-join, same plan)
+    # exact pass: checksum anti-join.  NO broadcast hint on the index side:
+    # in production the admitted index is the whole corpus, so a hard-coded
+    # hint is a scale-killer — Catalyst/AQE picks broadcast only while the
+    # built side's MEASURED size sits under autoBroadcastJoinThreshold and
+    # flips to a shuffled anti-join beyond it (tests/test_plans.py asserts
+    # the flip), which is exactly the right plan at every scale.
     survivors = batch.join(
-        F.broadcast(index.select("checksum").distinct()), "checksum", "left_anti"
+        index.select("checksum").distinct(), "checksum", "left_anti"
     )
     ga = survivors.select(
         "doc_id", F.size("shingles").alias("na"), F.explode("shingles").alias("g")
@@ -584,8 +602,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("shingles").alias("nb"),
         F.explode("shingles").alias("g"),
     )
+    # same reasoning: the index POSTINGS are the big side at scale — never
+    # hint them broadcast; AQE decides from runtime sizes
     near_hit = (
-        ga.join(F.broadcast(gb), "g")
+        ga.join(gb, "g")
         .groupBy("doc_id", "index_id")
         .agg(F.first("na").alias("na"), F.first("nb").alias("nb"),
              F.count(F.lit(1)).alias("inter"))
@@ -606,7 +626,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_INCREMENTAL = rf"""
 WITH toks AS (
   SELECT doc_id, sha256(text) AS checksum,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
   FROM documents
 ),
 sh AS (
@@ -649,7 +669,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
     sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
     is_bench = F.col("doc_id") % 7 == 3
@@ -662,7 +682,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DECONTAMINATE = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
   FROM documents
 ),
 sh AS (
@@ -728,17 +748,19 @@ _MINHASH_BOUNDED_PERMS = 16
 _BOUNDED_SLICE = 199
 
 
-def _bounded_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_shingles, h) for doc_id < _BOUNDED_SLICE — the shared SQL-statable
+def _bounded_token_hashes(
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE
+) -> DataFrame:
+    """(doc_id, n_shingles, h) for doc_id < ``bound`` — the shared SQL-statable
     kernel under every *_bounded twin: word-5-gram shingles (the exact
     semantics of green ``ngram_jaccard``, same ``_word_5gram_shingles``
     builder) hashed to 32-bit sha256 prefixes (sha2 is byte-identical across
     engines — the SQL-expressible stand-in for the production polynomial
     kernel in functions/hashing.py:batch_token_hashes, whose uint64
     wraparound DuckDB cannot state).  All JVM builtins, no UDF."""
-    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < _BOUNDED_SLICE)
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < bound)
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
     sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
     hashes = F.transform(
@@ -752,11 +774,12 @@ def _bounded_token_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: DuckDB mirror of _bounded_token_hashes: CTE chain ending in
-#: ``hs(doc_id, n_shingles, h)`` — shared prefix of every *_bounded oracle.
-_BOUNDED_HASHES_CTE = rf"""WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-  FROM documents WHERE doc_id < {_BOUNDED_SLICE}
+def _bounded_hashes_cte(bound: int = _BOUNDED_SLICE) -> str:
+    """DuckDB mirror of _bounded_token_hashes: CTE chain ending in
+    ``hs(doc_id, n_shingles, h)`` — shared prefix of every *_bounded oracle."""
+    return rf"""WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
+  FROM documents WHERE doc_id < {bound}
 ),
 sh AS (
   SELECT doc_id,
@@ -772,7 +795,12 @@ hs AS (
 )"""
 
 
-def _bounded_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
+_BOUNDED_HASHES_CTE = _bounded_hashes_cte()
+
+
+def _bounded_sig16(
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE
+) -> DataFrame:
     """(doc_id, n_shingles, sig_00..sig_15): MinHash signatures whose every
     step is SQL-statable, so DuckDB can recompute them exactly.  The
     signature is the REAL multiply-add permutation family min((a*h + b) mod
@@ -780,7 +808,7 @@ def _bounded_sig16(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small_minhash_params) so products stay in int64 on both engines."""
     from camden_spark.functions.hashing import SQL_MINHASH_P, small_minhash_params
 
-    hs = _bounded_token_hashes(spark, sf_dir)
+    hs = _bounded_token_hashes(spark, sf_dir, bound=bound)
     a, b = small_minhash_params(_MINHASH_BOUNDED_PERMS, CFG.minhash_seed)
 
     def _perm_min(aj: int, bj: int):
@@ -887,6 +915,81 @@ JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 
 
 SQL_LSH_PAIRS_BOUNDED = _lsh_bounded_oracle_sql()
+
+#: slice / cap for the capped twin: at doc_id < 500 the sf0.01 corpus forms
+#: LSH band groups of size 3 (and sf0.001 forms several), so max_band_group=2
+#: actually FIRES — the drop branch of operators/lsh.py:candidate_pairs_lsh
+#: does real work and removing the cap changes the answer (measured: 25 → 22
+#: pairs at sf0.01, 27 → 18 at sf0.001).
+_CAPPED_SLICE = 500
+_CAPPED_MAX_GROUP = 2
+
+
+def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 (mega-group cap) driver-HASH-verified: the REAL
+    ``candidate_pairs_lsh`` operator with ``max_band_group=2`` over a
+    doc_id < 500 slice where band groups of size 3 exist, so the
+    count→drop→semi-prune stages demonstrably REMOVE pairs (the bounded twin
+    ``lsh_pairs_bounded`` proves the cap a no-op; this one proves it fires).
+    The DuckDB oracle states the drop verbatim: band groups kept only while
+    ``HAVING count(*) <= 2``."""
+    from dataclasses import replace
+
+    sig = _bounded_sig16(spark, sf_dir, bound=_CAPPED_SLICE).select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
+        F.array(
+            *[F.col(f"sig_{j:02d}") for j in range(_MINHASH_BOUNDED_PERMS)]
+        ).alias("minhash"),
+    )
+    cfg = replace(
+        CFG,
+        minhash_perms=_MINHASH_BOUNDED_PERMS,
+        lsh_bands=4,
+        lsh_rows=4,
+        max_band_group=_CAPPED_MAX_GROUP,
+    )
+    pairs, _metrics = candidate_pairs_lsh(sig, cfg)
+    return pairs.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+    )
+
+
+def _lsh_capped_oracle_sql() -> str:
+    """DuckDB mirror of q_lsh_pairs_capped: identical to the bounded oracle
+    except the band self-join is restricted to groups that survive the cap
+    (group size in (2, max]) — the HAVING clause IS the mega-band drop."""
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band, "
+        f"[{', '.join(f'sig_{4 * k + r:02d}' for r in range(4))}] AS key FROM sig"
+        for k in range(4)
+    )
+    return f"""
+{_bounded_hashes_cte(_CAPPED_SLICE)},
+sig AS (
+  SELECT doc_id,
+       {_bounded_sig16_sql_exprs()}
+  FROM hs
+),
+bands AS (
+{band_rows}
+),
+keep AS (
+  SELECT band, key FROM bands
+  GROUP BY band, key
+  HAVING count(*) > 1 AND count(*) <= {_CAPPED_MAX_GROUP}
+),
+jb AS (
+  SELECT b.doc_id, b.band, b.key
+  FROM bands b JOIN keep k ON b.band = k.band AND b.key = k.key
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM jb a
+JOIN jb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_LSH_PAIRS_CAPPED = _lsh_capped_oracle_sql()
 
 
 def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,7 +1295,7 @@ def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 40)
     node = F.lpad(F.col("doc_id").cast("string"), 6, "0")
     toks = docs.select(
-        node.alias("url"), F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        node.alias("url"), F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
     sh = toks.select("url", _word_5gram_shingles("t").alias("shingles"))
     a = sh.select(F.col("url").alias("url_a"), F.col("shingles").alias("sa"))
@@ -1218,7 +1321,7 @@ SQL_NEAR_DUP_CLUSTERS_EXACT = rf"""
 WITH RECURSIVE
 toks AS (
   SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+         regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
   FROM documents WHERE doc_id < 40
 ),
 sh AS (
@@ -1260,10 +1363,6 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_piece_count("text").alias("n_pieces_bpe"),
     )
 
-
-#: whitespace class pinned verbatim with functions/text.py:WS_CLASS — Java's
-#: \s includes \x0B (vertical tab), RE2's does not
-_WS_SQL = r"[ \t\n\f\r]"
 
 SQL_TOKEN_COUNTS = rf"""
 SELECT doc_id,
@@ -1659,6 +1758,38 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_near_dup_pairs(vecs, threshold=0.4, n_cells=16, n_probe=4)
 
 
+def q_embedding_near_dup_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REDUCED-PROBE IVF path driver-hash-verified (VERDICT r3 ask #7):
+    n_probe=1 < n_cells=8, so the probe-selection branch does real work —
+    and the answer is still closed-form because of planted twins.  Every
+    vec_id < 20 gains a twin (vec_id + 1_000_000, embedding × 2): power-of-2
+    scaling is EXACT in IEEE float and commutes bit-for-bit through the cell
+    UDF's normalize (norm(2x) = 2·norm(x) and (2x_i)/(2n) = x_i/n are all
+    correctly-rounded identities), so twin and original produce identical
+    similarity rows and land in the SAME argmax cell — the shared-cell
+    guarantee is deterministic, not probabilistic.  At threshold 0.95 only
+    twin pairs qualify (max natural pairwise cosine in the synthetic
+    embeddings is ~0.51-0.60), so reduced-probe output == the closed form
+    {(i, i + 1_000_000, 1.0) : i < 20} that DuckDB states — same oracle
+    shape as ``embedding_near_dup_lsh``."""
+    from camden_spark.operators.ann import ivf_near_dup_pairs
+
+    vecs = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    planted = vecs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return ivf_near_dup_pairs(
+        vecs.unionByName(planted),
+        threshold=0.95,
+        n_cells=8,
+        n_probe=1,
+        max_cell=1_000_000,
+    )
+
+
 def q_embedding_near_dup_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF near-dup KERNEL driver-hash-verified via its exact-degenerate
     configuration: with n_probe = n_cells every vector is multi-assigned to
@@ -1967,10 +2098,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions": q_streaming_sessions,
     "minhash_signatures_bounded": q_minhash_signatures_bounded,
     "lsh_pairs_bounded": q_lsh_pairs_bounded,
+    "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash_pairs_bounded": q_simhash_pairs_bounded,
     "substr_pairs_bounded": q_substr_pairs_bounded,
     "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_near_dup_ivf_planted": q_embedding_near_dup_ivf_planted,
     "embedding_near_dup_ivf_exhaustive": q_embedding_near_dup_ivf_exhaustive,
     # rows-only (non-SQL-expressible distributed hashing / UDF stages)
     "minhash_signatures": q_minhash_signatures,
@@ -2015,10 +2148,13 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_sessions": SQL_STREAMING_SESSIONS,
     "minhash_signatures_bounded": SQL_MINHASH_SIGNATURES_BOUNDED,
     "lsh_pairs_bounded": SQL_LSH_PAIRS_BOUNDED,
+    "lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED,
     "simhash_pairs_bounded": SQL_SIMHASH_PAIRS_BOUNDED,
     "substr_pairs_bounded": SQL_SUBSTR_PAIRS_BOUNDED,
     "near_dup_clusters_bounded": SQL_NEAR_DUP_CLUSTERS_BOUNDED,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
+    # reduced probe + planted identical-direction twins → closed-form pairs
+    "embedding_near_dup_ivf_planted": SQL_EMBEDDING_NEAR_DUP_LSH,
     # n_probe = n_cells ≡ exhaustive ≡ brute-force near-dup semantics
     "embedding_near_dup_ivf_exhaustive": SQL_EMBEDDING_NEAR_DUP,
 }

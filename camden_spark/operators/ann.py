@@ -149,14 +149,22 @@ def train_ivf_centroids(
 ) -> np.ndarray:
     """Train the coarse quantizer on a BOUNDED driver-side sample (the one
     deliberate collect in this module — quantizer training is a fixed-size
-    driver/offline step even at 100 TB; the sample is deterministic via the
-    id sort, swap in ``.sample(fraction, seed)`` + sort for huge tables)."""
-    pdf = (
-        vectors.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(sample_rows)
-        .toPandas()
-    )
+    driver/offline step even at 100 TB).
+
+    The sample is ``.sample(fraction, seed)`` — a stateless per-partition
+    Bernoulli filter, NO full-corpus TakeOrdered — sized from the parquet
+    row count (a metadata-only job).  The sampled subset (≈ sample_rows
+    rows) is then sorted by id and truncated, so the training set is
+    deterministic for a fixed input layout; k-means init is seeded on top.
+    """
+    base = vectors.select(id_col, vec_col)
+    total = base.count()  # column-pruned; parquet answers from footers
+    if total > sample_rows:
+        # 1.2x oversample so the post-sample limit almost surely has
+        # sample_rows rows to keep (Bernoulli variance at 20k draws ≪ 20%)
+        frac = min(1.0, 1.2 * sample_rows / total)
+        base = base.sample(fraction=frac, seed=seed)
+    pdf = base.orderBy(id_col).limit(sample_rows).toPandas()
     X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return _spherical_kmeans(X, n_cells, seed)
 

@@ -32,10 +32,18 @@ Scale notes:
 * the convergence check is an ``observe`` metric collected during the
   truncation's own materialization job (the localCheckpoint or the parquet
   write) — zero extra jobs per iteration
-* labels are the string urls themselves: min(url) is simultaneously the
-  cluster id AND the deterministic first-wins canonical member (camden keeps
+* the loop iterates on 8-byte hashed node ids, not url strings: every
+  iteration shuffles the full label table (twice: neighbor-min + pointer
+  jump), and Common-Crawl urls average ~60-80 bytes — at 10^12 docs that is
+  an order of magnitude of needless exchange bytes per iteration.  Node ids
+  are ``xxhash64(seed, url)``; a driver-side uniqueness check (one tiny agg
+  over the id table) retries with the next seed on collision (p ≈ n²/2^65
+  per seed), so ids are injective BY CONSTRUCTION, not by hope.  The
+  url→min-url cluster semantics are restored after convergence by ONE
+  groupBy(component) → min(url) join — cluster ids remain the lexicographic
+  min url, the deterministic first-wins canonical member (camden keeps
   element 0 of each group, reference src/operations.rs:50 — ours is the
-  lexicographic minimum, deterministic under any parallelism)
+  lexicographic minimum, deterministic under any parallelism).
 """
 
 from __future__ import annotations
@@ -109,16 +117,44 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    # --- long node ids (module docstring: labels shuffle 8-byte longs, not
+    # url strings).  nid = xxhash64(seed, url) is a pure projection — no join
+    # to relabel edges; injectivity is CHECKED (one tiny agg over the node
+    # table) and the seed bumped on collision.
+    raw_nodes = (
+        edges.select(F.col("url_a").alias("url"))
+        .union(edges.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    nodes = None
+    for seed in range(42, 48):
+        cand = raw_nodes.withColumn(
+            "nid", F.xxhash64(F.lit(seed), F.col("url"))
+        )
+        cand = truncate(cand, "cc_nodes")
+        n_urls, n_ids = cand.agg(
+            F.count("*"), F.countDistinct("nid")
+        ).first()
+        if n_urls == n_ids:
+            nodes = cand
+            break
+    if nodes is None:  # 6 consecutive 2^-65-likelihood events
+        raise RuntimeError("connected_components: node-id hashing collided "
+                           "for every seed in 42..47")
+
+    def nid(col: str) -> F.Column:
+        return F.xxhash64(F.lit(seed), F.col(col))
+
     sym = truncate(
-        edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
-        .union(edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst")))
+        edges.select(nid("url_a").alias("src"), nid("url_b").alias("dst"))
+        .union(edges.select(nid("url_b").alias("src"), nid("url_a").alias("dst")))
         .dropDuplicates(["src", "dst"]),
         "cc_edges",
     )
     labels = truncate(
-        sym.select(F.col("src").alias("url"))
+        sym.select(F.col("src").alias("nid"))
         .distinct()
-        .withColumn("label", F.col("url")),
+        .withColumn("label", F.col("nid")),
         "cc_iter_init",
     )
     converged = False
@@ -127,27 +163,27 @@ def connected_components(
         iterations += 1
         # (a) neighbor labels: for each dst, min label over incoming src labels
         nbr = (
-            sym.join(labels.withColumnRenamed("url", "src"), "src")
+            sym.join(labels.withColumnRenamed("nid", "src"), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("dst", "url")
+            .withColumnRenamed("dst", "nid")
         )
         # (b) pointer jump: label-of-label.  label(u) is always a node of u's
         # component that appears in `labels` (it started as identity and only
         # ever moves to smaller member ids), so the join always matches; the
         # coalesce is belt-and-braces for the left join.
         jump = labels.select(
-            F.col("url").alias("_pj_url"), F.col("label").alias("_pj_label")
+            F.col("nid").alias("_pj_nid"), F.col("label").alias("_pj_label")
         )
         # the convergence check rides the truncation's materialization job as
         # an observed metric — zero extra jobs per iteration (vs a separate
         # isEmpty/count action)
         obs = Observation(f"cc_changed_{iterations}")
         stepped = (
-            labels.join(nbr, "url", "left")
-            .join(jump, F.col("label") == F.col("_pj_url"), "left")
+            labels.join(nbr, "nid", "left")
+            .join(jump, F.col("label") == F.col("_pj_nid"), "left")
             .select(
-                "url",
+                "nid",
                 F.col("label").alias("_old"),
                 F.least(
                     F.col("label"),
@@ -156,7 +192,7 @@ def connected_components(
                 ).alias("label"),
             )
             .select(
-                "url",
+                "nid",
                 "label",
                 (F.col("label") < F.col("_old")).alias("changed"),
             )
@@ -204,7 +240,11 @@ def connected_components(
                         pass
 
             track_release(_free_cc_blocks)
-    return labels.withColumnRenamed("label", "cluster_id")
+    # restore url-keyed, min-URL cluster semantics: ONE groupBy(component) →
+    # min(url) after convergence replaces per-iteration string shuffles
+    comp_urls = labels.join(nodes, "nid").select("url", "label")
+    canon = comp_urls.groupBy("label").agg(F.min("url").alias("cluster_id"))
+    return comp_urls.join(canon, "label").select("url", "cluster_id")
 
 
 def assign_clusters(

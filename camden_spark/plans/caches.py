@@ -9,8 +9,13 @@ relations in executor storage memory.
 Discipline: operators call :func:`track_cache` instead of ``df.cache()``;
 the *consumer* (bench loop, CLI after sinks are written, a test after its
 assertions) calls :func:`release_caches` once results are materialized.
-Releasing early is safe — Spark recomputes an unpersisted frame from
-lineage — it only costs recompute time, never correctness.
+For plain tracked caches releasing early only costs recompute time, never
+correctness (Spark recomputes an unpersisted frame from lineage).  BARRIER-
+backed frames are different: :func:`materialize_barrier` truncates lineage
+(localCheckpoint), so a frame released through its callback CANNOT be
+recomputed — consuming it after :func:`release_caches` fails with
+checkpoint-block-not-found.  Materialize barrier-backed results (e.g.
+``PipelineResult.pairs`` / ``clusters``) BEFORE releasing.
 """
 
 from __future__ import annotations
@@ -56,11 +61,14 @@ def materialize_barrier(df: DataFrame) -> DataFrame:
     cuts the plan at materialized blocks, so downstream consumers — including
     the CC edge truncation and PipelineResult.pairs — read blocks, period.
 
-    Scale note: localCheckpoint blocks are executor-memory-backed (lost
-    executor ⇒ job retry from the barrier's parent stage, never wrong
-    results).  Use only for frames orders of magnitude smaller than the
-    corpus (candidate/verified pair sets); full-stage outputs go through the
-    SnapshotStore parquet path when a checkpoint dir is configured.
+    Scale note: localCheckpoint is explicitly NON-fault-tolerant — lineage
+    is truncated, so an executor lost after the barrier fails the JOB (the
+    blocks cannot be recomputed); it never yields wrong results, but on a
+    real cluster where executor loss must be survivable, use the RELIABLE
+    path instead (SnapshotStore parquet staging / CC's checkpoint_dir mode —
+    both available whenever a checkpoint dir is configured).  Use barriers
+    only for frames orders of magnitude smaller than the corpus
+    (candidate/verified pair sets).
     """
     spark = df.sparkSession
     before = _persistent_rdd_ids(spark)

@@ -96,9 +96,13 @@ class PipelineResult:
     def release(self, blocking: bool = False) -> int:
         """Unpersist every operator/pipeline cache registered during run().
 
-        Call AFTER materializing clusters/pairs (they reference the caches
-        lazily; releasing early only costs recompute, never correctness).
-        Returns the number of frames released."""
+        Call ONLY after materializing both ``clusters`` and ``pairs``:
+        ``pairs`` (and the internal lsh_pairs set) are barrier-backed
+        localCheckpoint frames whose lineage is truncated — after release
+        their blocks are gone for good, so consuming them again fails with
+        checkpoint-block-not-found rather than recomputing.  Plain tracked
+        caches, by contrast, merely recompute.  Returns the number of
+        frames/callbacks released."""
         return release_caches(blocking)
 
 

@@ -56,6 +56,13 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"),
         )
+        # the JVM signature stage is ONE HashAggregate with 193 output fields
+        # (128 MinHash min-slots + 64 SimHash bit sums + count); the default
+        # maxFields=100 silently knocks that stage out of whole-stage codegen
+        # into the interpreted path (measured: 0 codegen spans, ~1.8x stage
+        # wall).  Spark still splits the generated code into sub-64KB methods
+        # (methodSplitThreshold), so raising the ceiling is safe.
+        .config("spark.sql.codegen.maxFields", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

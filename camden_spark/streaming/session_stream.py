@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -106,11 +107,14 @@ def streaming_sessionize(
             return
         rows = pd.concat(frames, ignore_index=True)
         # fold in event-time order; ties broken by value column for
-        # determinism (parallelism/arrival invariance inside the batch)
-        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64")
-        order = ts_us.argsort(kind="stable")
-        ts_sorted = ts_us.iloc[order].to_numpy()
-        val_sorted = rows[value_col].iloc[order].to_numpy()
+        # determinism (parallelism/arrival invariance inside the batch):
+        # equal-ts events must fold in a fixed order or float summation
+        # (and thus round(total_value, 4)) could vary across partitionings
+        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = rows[value_col].to_numpy()
+        order = np.lexsort((vals, ts_us))
+        ts_sorted = ts_us[order]
+        val_sorted = vals[order]
 
         cur = list(state.get) if state.exists else None
         out = []

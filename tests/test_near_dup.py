@@ -131,9 +131,14 @@ def test_connected_components_nonconvergence_is_loud(spark):
 
 
 def test_connected_components_pointer_jump_fast_on_chains(spark):
-    """A 40-node path graph (diameter 39) must converge in O(log n)
-    iterations — the pointer-jump step doubles label travel per iteration,
-    so plain min-label propagation's 39 iterations collapse to ~8."""
+    """A 40-node path graph (diameter 39) must converge in O(log diameter)
+    iterations, far under the 39 plain min-label propagation needs.
+
+    Note the constant: with the loop's hashed 8-byte node ids the min label
+    sits at a RANDOM chain position and intermediate labels are unordered,
+    so jumps shortcut less aggressively than they did over monotone url
+    labels (measured: 15 iterations vs 8 pre-hashing) — still exponentially
+    better than propagation, which is what this guards."""
     n = 40
     nodes = [f"n{i:03d}" for i in range(n)]
     edges = spark.createDataFrame(
@@ -146,8 +151,8 @@ def test_connected_components_pointer_jump_fast_on_chains(spark):
     }
     assert status["converged"] is True
     assert set(comp.values()) == {nodes[0]}
-    assert status["iterations"] <= 12, (
-        f"pointer jumping should converge a 39-diameter chain in ~8 "
+    assert status["iterations"] <= 16, (
+        f"pointer jumping should converge a 39-diameter chain in O(log d) "
         f"iterations, took {status['iterations']}"
     )
 

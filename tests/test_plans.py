@@ -419,3 +419,46 @@ def test_cache_hygiene_release(spark, pages_df):
     released = res.release(blocking=True)
     assert released > 0
     assert _storage_rdd_count(spark) == baseline
+
+
+def _final_plan_str(df) -> str:
+    """Executed (post-AQE) physical plan — collect first so AQE finalizes."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_incremental_broadcast_gate(spark):
+    """dedup_incremental carries NO broadcast hint on the index side: with
+    the session's default autoBroadcastJoinThreshold the small index still
+    broadcasts (Catalyst/AQE measured it), and when the threshold says the
+    index is too big the SAME plan flips to shuffled joins — the property a
+    hard-coded hint destroys at production index sizes."""
+    from camden_spark.entry_queries import q_dedup_incremental
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("driver testdata not present")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        plan_default = _final_plan_str(q_dedup_incremental(spark, sf))
+        assert "Broadcast" in plan_default, (
+            "small index should broadcast under the default threshold"
+        )
+        rows_default = sorted(
+            (r["doc_id"], r["checksum"])
+            for r in q_dedup_incremental(spark, sf).collect()
+        )
+        spark.conf.set(key, "-1")
+        plan_gated = _final_plan_str(q_dedup_incremental(spark, sf))
+        assert "BroadcastHashJoin" not in plan_gated, (
+            "index side must flip to a shuffled join when it exceeds the "
+            "threshold — a residual broadcast means a hard-coded hint"
+        )
+        rows_gated = sorted(
+            (r["doc_id"], r["checksum"])
+            for r in q_dedup_incremental(spark, sf).collect()
+        )
+        assert rows_default == rows_gated  # plan flip, identical answer
+    finally:
+        spark.conf.set(key, old)
