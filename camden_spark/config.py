@@ -70,15 +70,24 @@ class DedupConfig:
     max_fingerprint_group: int = 200
 
     # --- signature backend -----------------------------------------------
-    #: "jvm": shingles/MinHash/SimHash as pure Catalyst builtins (explode +
-    #: one codegen HashAggregate — zero python workers in the hot stage, the
-    #: fix for the measured JVM<->worker Arrow-socket task-time inflation
-    #: that broke 2->8 thread scaling in round 3).  "arrow": the vectorized
-    #: pandas-UDF kernel (functions/shingles.py).  Both compute the same
-    #: distinct 5-token-window shingle SETS (tested: exact Jaccard parity),
-    #: but the hash families differ, so cluster assignments are backend-keyed
-    #: — hence a config field (it feeds config_hash / checkpoint identity).
-    sig_backend: str = "jvm"
+    #: "arrow" (default): the vectorized pandas-UDF kernel
+    #: (functions/shingles.py).  "jvm": shingles/MinHash/SimHash as pure
+    #: Catalyst builtins (functions/jvm_sig.py) — zero python workers in the
+    #: hot stage.  Both compute the same distinct 5-token-window shingle
+    #: SETS (tested: exact Jaccard parity), but the hash families differ, so
+    #: cluster assignments are backend-keyed — hence a config field (it
+    #: feeds config_hash / checkpoint identity).
+    #:
+    #: Why arrow is the default: the round-3 scaling miss was hypothesized
+    #: to be JVM<->python-worker socket traffic, so round 4 built the jvm
+    #: path and measured both in one interleaved pinned session (500k and
+    #: 200k docs, BENCH/backend_ab.json).  Result: jvm is ~1.4x slower
+    #: absolute (its shingle explode is an interpreted-HOF Generate emitting
+    #: ~200 rows/doc; the numpy kernel vectorizes the same arithmetic) AND
+    #: scales worse 2->8 (0.57 vs 0.65 — the extra allocation/GC pressure
+    #: contends harder than the Arrow socket it removed).  The jvm backend
+    #: stays available for environments where python workers are banned.
+    sig_backend: str = "arrow"
 
     # --- text normalization --------------------------------------------
     lowercase: bool = True

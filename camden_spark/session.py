@@ -56,12 +56,15 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"),
         )
-        # the JVM signature stage is ONE HashAggregate with 193 output fields
-        # (128 MinHash min-slots + 64 SimHash bit sums + count); the default
-        # maxFields=100 silently knocks that stage out of whole-stage codegen
-        # into the interpreted path (measured: 0 codegen spans, ~1.8x stage
-        # wall).  Spark still splits the generated code into sub-64KB methods
-        # (methodSplitThreshold), so raising the ceiling is safe.
+        # the sig_backend="jvm" signature stage is ONE HashAggregate with 193
+        # output fields (128 MinHash min-slots + 64 SimHash bit sums +
+        # count); the default maxFields=100 silently knocks it out of
+        # whole-stage codegen.  512 restores codegen for wide aggregates
+        # (Spark splits the generated code into sub-64KB methods, so the
+        # ceiling is safe).  Measured effect on that stage is small — its
+        # cost lives in the interpreted-HOF shingle Generate, which no
+        # codegen setting reaches — but interpreted wide aggregates burn
+        # memory bandwidth this box shares across cores, so keep it on.
         .config("spark.sql.codegen.maxFields", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
@@ -80,6 +83,12 @@ def get_spark(
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", ev_dir
         )
+    # generic conf passthrough for benchmarking/ops: semicolon-separated
+    # key=value pairs (env names cannot carry spark.* dots)
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in extra_env.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
