@@ -368,6 +368,109 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/web.py) — the key-collapsing stage a
+    Common-Crawl crawl needs BEFORE url-keyed exact dedup (scheme/host case,
+    default ports, tracking params, fragments).  Inputs are synthesized
+    deterministically from ``documents`` with four mess-shapes (tracking-only
+    query, mixed query + fragment, mid-query click id, no query) so every
+    branch of the transformation executes; the DuckDB oracle states the
+    SAME synthesis and the SAME regexp chain verbatim."""
+    from camden_spark.functions.web import canonicalize_url
+
+    docs = _documents(spark, sf_dir)
+    d = F.col("doc_id").cast("string")
+    shapes = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".Example:443/"),
+                     F.col("lang"), F.lit("/doc"), d,
+                     F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".example:80/doc"), d,
+                     F.lit("?id="), d, F.lit("&utm_medium=rss#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc"), d,
+                     F.lit("?a=1&fbclid=XY"), d, F.lit("&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTP://"), F.upper("source"), F.lit(".EXAMPLE/doc"), d)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        shapes.alias("url_raw"),
+        canonicalize_url(shapes).alias("url_canon"),
+    )
+
+
+def _url_canonicalize_oracle_sql() -> str:
+    from camden_spark.functions.web import canonicalize_url_sql
+
+    shapes = """CASE
+      WHEN doc_id % 4 = 0 THEN 'HTTPS://' || upper(source) || '.Example:443/' || lang || '/doc' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+      WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example:80/doc' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=rss#frag'
+      WHEN doc_id % 4 = 2 THEN 'https://' || source || '.example/doc' || CAST(doc_id AS VARCHAR) || '?a=1&fbclid=XY' || CAST(doc_id AS VARCHAR) || '&b=2'
+      ELSE 'HTTP://' || upper(source) || '.EXAMPLE/doc' || CAST(doc_id AS VARCHAR)
+    END"""
+    return f"""
+WITH raw AS (SELECT doc_id, {shapes} AS url_raw FROM documents)
+SELECT doc_id, url_raw, {canonicalize_url_sql("url_raw")} AS url_canon FROM raw
+"""
+
+
+SQL_URL_CANONICALIZE = _url_canonicalize_oracle_sql()
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (functions/web.py) — the stage that produces the
+    ``text`` column the checksum stage fingerprints ("byte-identical
+    extracted text per url", BASELINE input_hint).  Payloads are synthesized
+    deterministically around each document's text (script/style subtrees,
+    comments, attributes, entities), extracted with the regexp chain, and
+    the DuckDB oracle restates synthesis + extraction verbatim."""
+    from camden_spark.functions.web import html_to_text
+
+    docs = _documents(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p {color: red}</style></head>"
+              "<body onload=\"init()\"><!-- crawler note --><p>"),
+        F.col("text"),
+        F.lit("</p><script>var a = 1 &lt; 2;</script><div> &amp;amp; &lt;tail&gt; "),
+        F.col("lang"), F.lit("</div></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        html_to_text(html).alias("text_extracted"),
+    ).withColumn(
+        "n_chars", F.length("text_extracted").cast("long")
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    from camden_spark.functions.web import html_to_text_sql
+
+    html = ("'<html><head><title>' || source || "
+            "'</title><style>p {color: red}</style></head>"
+            "<body onload=\"init()\"><!-- crawler note --><p>' || text || "
+            "'</p><script>var a = 1 &lt; 2;</script><div> &amp;amp; &lt;tail&gt; '"
+            " || lang || '</div></body></html>'")
+    return f"""
+WITH raw AS (SELECT doc_id, {html} AS html FROM documents)
+SELECT doc_id, {html_to_text_sql("html")} AS text_extracted,
+       CAST(length({html_to_text_sql("html")}) AS BIGINT) AS n_chars
+FROM raw
+"""
+
+
+SQL_HTML_EXTRACT = _html_extract_oracle_sql()
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style hard quality rules as per-rule flags + combined verdict
     (functions/text.py:with_quality_flags) — the drop-accounting shape a
@@ -2076,6 +2179,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_stats": q_session_stats,
     "events_asof": q_events_asof,
     "quality_filter": q_quality_filter,
+    "url_canonicalize": q_url_canonicalize,
+    "html_extract": q_html_extract,
     "vocab_top_terms": q_vocab_top_terms,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -2126,6 +2231,8 @@ ORACLE_SQL: dict[str, str] = {
     "session_stats": SQL_SESSION_STATS,
     "events_asof": SQL_EVENTS_ASOF,
     "quality_filter": SQL_QUALITY_FILTER,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "html_extract": SQL_HTML_EXTRACT,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "ann_topk": SQL_ANN_TOPK,
     "ann_topk_ivf": SQL_ANN_TOPK,  # exhaustive probe ≡ brute force

@@ -1,0 +1,100 @@
+"""URL canonicalization + HTML extraction (functions/web.py): pinned
+transformation semantics, Spark↔DuckDB engine parity, idempotence."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from camden_spark.functions.web import (
+    canonicalize_url,
+    canonicalize_url_sql,
+    html_to_text,
+    html_to_text_sql,
+)
+
+URL_CASES = [
+    # (raw, expected canonical)
+    ("HTTPS://WWW.Example.COM:443/Path/Doc?utm_source=a&utm_campaign=b#frag",
+     "https://www.example.com/Path/Doc"),
+    ("http://site.example:80/x?id=7&utm_medium=rss",
+     "http://site.example/x?id=7"),
+    ("https://site.example/x?a=1&fbclid=XY123&b=2",
+     "https://site.example/x?a=1&b=2"),
+    ("https://site.example/x?fbclid=XY123&a=1",
+     "https://site.example/x?a=1"),
+    ("https://site.example/x?utm_source=only",
+     "https://site.example/x"),
+    ("HTTP://NOPORT.EXAMPLE/plain",
+     "http://noport.example/plain"),
+    # :443 is NOT default for http — must survive
+    ("http://site.example:443/x", "http://site.example:443/x"),
+    # path/query case is significant
+    ("https://Site.Example/CaseS?Q=Vv", "https://site.example/CaseS?Q=Vv"),
+]
+
+HTML_CASES = [
+    ("<html><body><p>hello <b>world</b></p></body></html>", "hello world"),
+    ("<p>a</p><script>var x = '<p>not text</p>';</script><p>b</p>", "a b"),
+    ("<style>p { color: red }</style>visible", "visible"),
+    ("before<!-- hidden comment -->after", "before after"),
+    ("one&nbsp;two &amp; three &lt;tag&gt; &quot;q&quot; &#39;s&#39;",
+     'one two & three <tag> "q" \'s\''),
+    # &amp; decodes LAST: "&amp;lt;" is the literal text "&lt;"
+    ("x &amp;lt; y", "x &lt; y"),
+    ("  <div>\n spaced \t text </div>  ", "spaced text"),
+    ("<SCRIPT a=b>s</SCRIPT>kept", "kept"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in URL_CASES], ["url"])
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in URL_CASES]
+
+
+def test_html_to_text_cases(spark):
+    df = spark.createDataFrame([(r,) for r, _ in HTML_CASES], ["html"])
+    got = [r[0] for r in df.select(html_to_text(F.col("html"))).collect()]
+    assert got == [want for _, want in HTML_CASES]
+
+
+def test_duckdb_mirrors_agree(spark):
+    """The SQL builders state the SAME transformation: byte-identical output
+    on every pinned case (the engine-parity property the driver hash check
+    relies on)."""
+    con = duckdb.connect()
+    for raw, want in URL_CASES:
+        got = con.execute(
+            f"WITH t(v) AS (SELECT ?) SELECT {canonicalize_url_sql('v')} FROM t",
+            [raw],
+        ).fetchone()[0]
+        assert got == want, f"duckdb canon({raw!r}) = {got!r}"
+    for raw, want in HTML_CASES:
+        got = con.execute(
+            f"WITH t(v) AS (SELECT ?) SELECT {html_to_text_sql('v')} FROM t",
+            [raw],
+        ).fetchone()[0]
+        assert got == want, f"duckdb html({raw!r}) = {got!r}"
+
+
+def test_canonicalize_idempotent(spark):
+    """canon(canon(x)) == canon(x) — canonical forms are fixed points."""
+    df = spark.createDataFrame([(r,) for r, _ in URL_CASES], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = [r[0] for r in once.select(canonicalize_url(F.col("c"))).collect()]
+    assert twice == [r[0] for r in once.collect()]
+
+
+@pytest.mark.parametrize("name", ["url_canonicalize", "html_extract"])
+def test_driver_queries_nonvacuous(spark, name):
+    import os
+
+    from camden_spark.entry_queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(os.path.join(sf, "documents.parquet")):
+        pytest.skip("driver testdata not present")
+    rows = QUERIES[name](spark, sf).limit(10).collect()
+    assert rows and all(r[-1] is not None for r in rows)
