@@ -1347,6 +1347,53 @@ FROM lab
 SQL_NEAR_DUP_CLUSTERS_BOUNDED = _near_dup_clusters_bounded_oracle_sql()
 
 
+def q_near_dup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster merge driver-HASH-verified (F6 ingest path,
+    operators/components.py:incremental_clusters): cluster the bounded slice
+    with only the OLD pair evidence (both doc_ids < 100), then merge the
+    remaining pairs incrementally — existing assignments are replayed as
+    member→canonical STAR edges, so the merge is EXACTLY batch CC over the
+    full pair set.  The oracle is therefore the already-verified
+    near_dup_clusters_bounded recursive-CTE walk (projected to doc_id,
+    cluster_id): incremental == batch is the algebraic property under test,
+    stated by reusing the batch oracle verbatim."""
+    from camden_spark.operators.components import (
+        assign_clusters,
+        incremental_clusters,
+    )
+
+    lsh = q_lsh_pairs_bounded(spark, sf_dir).select("doc_a", "doc_b")
+    sim = q_simhash_pairs_bounded(spark, sf_dir).select("doc_a", "doc_b")
+    sub = q_substr_pairs_bounded(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = lsh.unionByName(sim).unionByName(sub).dropDuplicates()
+
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 6, "0")
+
+    edges = pairs.select(pad("doc_a").alias("url_a"), pad("doc_b").alias("url_b"))
+    old_edges = pairs.filter(
+        (F.col("doc_a") < 100) & (F.col("doc_b") < 100)
+    ).select(pad("doc_a").alias("url_a"), pad("doc_b").alias("url_b"))
+    new_edges = edges.exceptAll(old_edges)
+    nodes = (
+        _documents(spark, sf_dir)
+        .filter(F.col("doc_id") < _BOUNDED_SLICE)
+        .select(pad("doc_id").alias("url"))
+    )
+    prev = assign_clusters(nodes, old_edges, CFG).select("url", "cluster_id")
+    merged = incremental_clusters(prev, new_edges, CFG)
+    return merged.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS_INCREMENTAL = f"""
+SELECT doc_id, cluster_id
+FROM ({SQL_NEAR_DUP_CLUSTERS_BOUNDED}) batch
+"""
+
+
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = normalize_pages(pages_from_documents(spark, sf_dir))
     sig = (
@@ -2207,6 +2254,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_bounded": q_simhash_pairs_bounded,
     "substr_pairs_bounded": q_substr_pairs_bounded,
     "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
+    "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_ivf_planted": q_embedding_near_dup_ivf_planted,
     "embedding_near_dup_ivf_exhaustive": q_embedding_near_dup_ivf_exhaustive,
@@ -2259,6 +2307,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_pairs_bounded": SQL_SIMHASH_PAIRS_BOUNDED,
     "substr_pairs_bounded": SQL_SUBSTR_PAIRS_BOUNDED,
     "near_dup_clusters_bounded": SQL_NEAR_DUP_CLUSTERS_BOUNDED,
+    "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS_INCREMENTAL,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     # reduced probe + planted identical-direction twins → closed-form pairs
     "embedding_near_dup_ivf_planted": SQL_EMBEDDING_NEAR_DUP_LSH,

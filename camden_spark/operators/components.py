@@ -247,6 +247,47 @@ def connected_components(
     return comp_urls.join(canon, "label").select("url", "cluster_id")
 
 
+def incremental_clusters(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    status: dict | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Merge NEW duplicate pairs into EXISTING cluster assignments — the
+    incremental-ingest path: at 10^12 docs the admitted corpus is never
+    re-clustered from raw pairs; a new batch's edges land against the stored
+    ``(url, cluster_id)`` table.
+
+    Exact algebra, not an approximation: each existing cluster is replayed
+    as STAR edges (member → canonical), so the union graph has the same
+    connected components as (all old pairs) ∪ (new pairs) — stars are
+    spanning trees of the old components.  Output is therefore IDENTICAL to
+    batch CC over the full pair set (the property the driver oracle and
+    tests assert), while the old clusters contribute diameter ≤ 2
+    subgraphs, so iteration count is driven by the new batch alone.
+
+    ``prev``: (url, cluster_id) — prior assignments (singletons may be
+    omitted; any url absent from both inputs is simply not emitted).
+    ``new_edges``: (url_a, url_b).  Returns (url, cluster_id) over every
+    url present in either input, cluster_id = min url of the merged
+    component, singletons included with cluster_id = own url.
+    """
+    star = prev.filter(F.col("url") != F.col("cluster_id")).select(
+        F.col("url").alias("url_a"), F.col("cluster_id").alias("url_b")
+    )
+    edges = star.unionByName(new_edges.select("url_a", "url_b"))
+    all_urls = (
+        prev.select("url")
+        .unionByName(new_edges.select(F.col("url_a").alias("url")))
+        .unionByName(new_edges.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    return assign_clusters(
+        all_urls, edges, cfg, status=status, checkpoint_dir=checkpoint_dir
+    ).select("url", "cluster_id")
+
+
 def assign_clusters(
     all_urls: DataFrame,
     edges: DataFrame,

@@ -283,3 +283,49 @@ def test_decontaminate_planted(spark):
     assert set(got) == {10, 11}
     assert got[10]["containment"] == 1.0
     assert 0.5 <= got[11]["containment"] < 1.0
+
+
+def test_incremental_clusters_equals_batch(spark):
+    """incremental_clusters(prev, new) == batch CC over old ∪ new pairs for
+    an arbitrary split — star edges are spanning trees of old components,
+    so the union graph has identical connected components."""
+    from camden_spark.operators.components import (
+        assign_clusters,
+        incremental_clusters,
+    )
+
+    all_pairs = [
+        ("a", "b"), ("b", "c"), ("d", "e"),      # old evidence
+        ("c", "d"), ("f", "g"), ("x", "a"),      # new evidence (merges + new)
+    ]
+    urls = sorted({u for p in all_pairs for u in p} | {"lone"})
+    nodes = spark.createDataFrame([(u,) for u in urls], ["url"])
+    old = spark.createDataFrame(all_pairs[:3], ["url_a", "url_b"])
+    new = spark.createDataFrame(all_pairs[3:], ["url_a", "url_b"])
+    full = spark.createDataFrame(all_pairs, ["url_a", "url_b"])
+
+    prev = assign_clusters(nodes, old).select("url", "cluster_id")
+    merged = {
+        r["url"]: r["cluster_id"]
+        for r in incremental_clusters(prev, new).collect()
+    }
+    batch = {
+        r["url"]: r["cluster_id"]
+        for r in assign_clusters(nodes, full).collect()
+    }
+    assert merged == batch
+    assert merged["x"] == "a" and merged["e"] == "a"  # chains merged via new
+    assert merged["lone"] == "lone"                   # singleton carried over
+
+
+def test_incremental_clusters_new_urls_only_in_batch(spark):
+    """urls appearing only in the new batch get clustered; prev singletons
+    survive; output covers exactly prev ∪ new-edge urls."""
+    from camden_spark.operators.components import incremental_clusters
+
+    prev = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("z", "z")], ["url", "cluster_id"]
+    )
+    new = spark.createDataFrame([("p", "q")], ["url_a", "url_b"])
+    got = {r["url"]: r["cluster_id"] for r in incremental_clusters(prev, new).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z", "p": "p", "q": "p"}
