@@ -92,6 +92,11 @@ class DedupConfig:
     # --- text normalization --------------------------------------------
     lowercase: bool = True
     collapse_whitespace: bool = True
+    #: collapse crawl-duplicate url keys (scheme/host case, default ports,
+    #: tracking params, fragments — functions/web.py) before the exact
+    #: stage.  Off by default: it changes the url key space and therefore
+    #: cluster assignments.
+    canonicalize_urls: bool = False
 
     # --- execution ------------------------------------------------------
     shuffle_partitions: int = 32

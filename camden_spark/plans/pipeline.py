@@ -149,6 +149,15 @@ class DedupPipeline:
         # Column-prune FIRST: only (url, warc_ts, text) ever leave the scan —
         # `html` must not ride through the repartition shuffle or the cache.
         base = pages.select("url", "warc_ts", "text")
+        if cfg.canonicalize_urls:
+            # crawl-duplicate key collapsing (functions/web.py): a url that
+            # canonicalizes identically IS the same page key, so downstream
+            # first-wins picks one row per canonical key via the usual
+            # deterministic (url, warc_ts) ordering.  Opt-in: it changes the
+            # url key space, hence cluster assignments (config-hashed).
+            from camden_spark.functions.web import canonicalize_url
+
+            base = base.withColumn("url", canonicalize_url(F.col("url")))
         # Spread the input across the cluster when it arrives under-split
         # (a tiny/unsplittable input would run every Arrow UDF on a handful
         # of cores).  Estimated from file BYTES vs maxPartitionBytes — file

@@ -98,3 +98,36 @@ def test_driver_queries_nonvacuous(spark, name):
         pytest.skip("driver testdata not present")
     rows = QUERIES[name](spark, sf).limit(10).collect()
     assert rows and all(r[-1] is not None for r in rows)
+
+
+def test_pipeline_canonicalize_urls_collapses_crawl_dups(spark):
+    """With canonicalize_urls=True, urls that differ only by tracking params
+    / case / fragment become ONE key, so byte-identical texts under messy
+    url variants cluster in the exact stage under the canonical key."""
+    import datetime as _dt
+
+    from camden_spark.config import DedupConfig
+    from camden_spark.plans.pipeline import DedupPipeline
+
+    ts = _dt.datetime(2025, 1, 1)
+    rows = [
+        ("https://site.example/a?utm_source=x", ts, None, "same text", "en"),
+        ("HTTPS://Site.Example/a#frag", _dt.datetime(2025, 1, 2), None,
+         "same text", "en"),
+        ("https://site.example/b", ts, None, "other text", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    res = DedupPipeline(cfg=DedupConfig(canonicalize_urls=True)).run(df)
+    rows_out = res.clusters.collect()
+    res.release()
+    # both messy variants now carry the canonical key and, being
+    # byte-identical, form one exact-dup cluster under it
+    assert len(rows_out) == 3
+    by_url = {}
+    for r in rows_out:
+        by_url.setdefault(r["url"], []).append(r["cluster_id"])
+    assert set(by_url) == {"https://site.example/a", "https://site.example/b"}
+    assert by_url["https://site.example/a"] == ["https://site.example/a"] * 2
+    assert by_url["https://site.example/b"] == ["https://site.example/b"]
