@@ -66,27 +66,39 @@ _WS_SQL = r"[ \t\n\f\r]"
 from camden_spark.functions.text import WS_CLASS as _WS  # noqa: E402
 
 
-def _word_5gram_shingles(toks_col: str = "t"):
-    """Distinct word-5-gram shingles of a token-array column — the exact
-    semantics the MinHash/LSH stage approximates; shared by ngram_jaccard
-    and near_dup_clusters_exact so the two oracles can never drift apart."""
+def _word_kgram_shingles(toks_col: str = "t", k: int = 5):
+    """Distinct word-k-gram shingles of a token-array column — the exact
+    semantics the MinHash/LSH stage approximates.  k is a parameter so the
+    *_bounded_alt twins can verify a SECOND shingle config (a band-indexing
+    or off-by-one bug tied to one k would survive a single-config green)."""
     t = F.col(toks_col)
     return F.array_distinct(
-        F.when(F.size(t) < 5, F.array(F.array_join(t, " "))).otherwise(
+        F.when(F.size(t) < k, F.array(F.array_join(t, " "))).otherwise(
             F.transform(
-                F.sequence(F.lit(1), F.size(t) - 4),
-                lambda i: F.array_join(F.slice(t, i, 5), " "),
+                F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                lambda i: F.array_join(F.slice(t, i, k), " "),
             )
         )
     )
 
 
-#: DuckDB mirror of _word_5gram_shingles over a token-array column ``t``
-#: (1-based inclusive list slicing: t[i:i+4] is 5 elements)
-_SHINGLES_5GRAM_SQL = """CASE WHEN len(t) < 5 THEN list_distinct([array_to_string(t, ' ')])
-              ELSE list_distinct(list_transform(range(1, len(t) - 3),
-                     i -> array_to_string(t[i:i+4], ' ')))
+def _word_5gram_shingles(toks_col: str = "t"):
+    """The production k=5 instance — shared by ngram_jaccard and
+    near_dup_clusters_exact so the two oracles can never drift apart."""
+    return _word_kgram_shingles(toks_col, 5)
+
+
+def _shingles_kgram_sql(k: int) -> str:
+    """DuckDB mirror of _word_kgram_shingles over a token-array column ``t``
+    (1-based inclusive list slicing: t[i:i+k-1] is k elements)."""
+    return f"""CASE WHEN len(t) < {k} THEN list_distinct([array_to_string(t, ' ')])
+              ELSE list_distinct(list_transform(range(1, len(t) - {k - 2}),
+                     i -> array_to_string(t[i:i+{k - 1}], ' ')))
          END"""
+
+
+#: the production k=5 instance of the SQL mirror
+_SHINGLES_5GRAM_SQL = _shingles_kgram_sql(5)
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,7 +864,7 @@ _BOUNDED_SLICE = 199
 
 
 def _bounded_token_hashes(
-    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5
 ) -> DataFrame:
     """(doc_id, n_shingles, h) for doc_id < ``bound`` — the shared SQL-statable
     kernel under every *_bounded twin: word-5-gram shingles (the exact
@@ -865,7 +877,7 @@ def _bounded_token_hashes(
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
-    sh = toks.select("doc_id", _word_5gram_shingles("t").alias("shingles"))
+    sh = toks.select("doc_id", _word_kgram_shingles("t", k).alias("shingles"))
     hashes = F.transform(
         "shingles",
         lambda s: F.conv(F.substring(F.sha2(s, 256), 1, 8), 16, 10).cast("long"),
@@ -877,7 +889,7 @@ def _bounded_token_hashes(
     )
 
 
-def _bounded_hashes_cte(bound: int = _BOUNDED_SLICE) -> str:
+def _bounded_hashes_cte(bound: int = _BOUNDED_SLICE, k: int = 5) -> str:
     """DuckDB mirror of _bounded_token_hashes: CTE chain ending in
     ``hs(doc_id, n_shingles, h)`` — shared prefix of every *_bounded oracle."""
     return rf"""WITH toks AS (
@@ -886,7 +898,7 @@ def _bounded_hashes_cte(bound: int = _BOUNDED_SLICE) -> str:
 ),
 sh AS (
   SELECT doc_id,
-         {_SHINGLES_5GRAM_SQL} AS shingles
+         {_shingles_kgram_sql(k)} AS shingles
   FROM toks
 ),
 hs AS (
@@ -902,7 +914,7 @@ _BOUNDED_HASHES_CTE = _bounded_hashes_cte()
 
 
 def _bounded_sig16(
-    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5
 ) -> DataFrame:
     """(doc_id, n_shingles, sig_00..sig_15): MinHash signatures whose every
     step is SQL-statable, so DuckDB can recompute them exactly.  The
@@ -911,7 +923,7 @@ def _bounded_sig16(
     (small_minhash_params) so products stay in int64 on both engines."""
     from camden_spark.functions.hashing import SQL_MINHASH_P, small_minhash_params
 
-    hs = _bounded_token_hashes(spark, sf_dir, bound=bound)
+    hs = _bounded_token_hashes(spark, sf_dir, bound=bound, k=k)
     a, b = small_minhash_params(_MINHASH_BOUNDED_PERMS, CFG.minhash_seed)
 
     def _perm_min(aj: int, bj: int):
@@ -1095,19 +1107,14 @@ JOIN jb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 SQL_LSH_PAIRS_CAPPED = _lsh_capped_oracle_sql()
 
 
-def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4 driver-HASH-verified on a bounded slice (doc_id < _BOUNDED_SLICE): the REAL
-    ``candidate_pairs_simhash`` operator (pigeonhole block join + builtin
-    bit_count(xor) verify, operators/simhash.py:38) run over a 32-bit
-    SQL-statable SimHash: bit j of a doc is set iff more than half of its
-    shingle hashes (the shared sha256-prefix kernel of
-    ``_bounded_token_hashes``) have bit j set — exactly the +1/-1 majority
-    vote of the production simhash_flat, stated with JVM aggregate/shiftright
-    builtins so DuckDB can recompute it verbatim.  cfg is the production
-    config with simhash_bits=32 (4 blocks of 8 bits, radius 3 unchanged);
-    the mega-group cap cannot fire (199 docs < max_simhash_group=200)."""
-    from dataclasses import replace
-
+def _bounded_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, simhash) — the SQL-statable 32-bit SimHash over the bounded
+    slice: bit j is set iff more than half of the doc's shingle hashes (the
+    shared sha256-prefix kernel of ``_bounded_token_hashes``) have bit j set
+    — exactly the +1/-1 majority vote of the production simhash_flat, stated
+    with JVM aggregate/shiftright builtins so DuckDB can recompute it
+    verbatim.  Shared by BOTH pigeonhole configs (q_simhash_pairs_bounded
+    and its _alt twin)."""
     hs = _bounded_token_hashes(spark, sf_dir)
 
     def _ones(j: int):
@@ -1124,10 +1131,31 @@ def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash + term
 
-    sig = hs.select(
+    return hs.select(
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
         simhash.alias("simhash"),
     )
+
+
+#: DuckDB mirror of _bounded_simhash32's 32 majority-vote bit terms
+_SIMHASH32_BIT_TERMS_SQL = "\n         + ".join(
+    f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {j}) & 1) = 1))"
+    f" > n_shingles THEN CAST(1 AS BIGINT) << {j} ELSE 0 END"
+    for j in range(32)
+)
+
+
+def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 driver-HASH-verified on a bounded slice (doc_id < _BOUNDED_SLICE): the REAL
+    ``candidate_pairs_simhash`` operator (pigeonhole block join + builtin
+    bit_count(xor) verify, operators/simhash.py:38) run over the
+    SQL-statable 32-bit SimHash of ``_bounded_simhash32``.  cfg is the
+    production config with simhash_bits=32 (4 blocks of 8 bits, radius 3
+    unchanged); the mega-group cap cannot fire (199 docs <
+    max_simhash_group=200)."""
+    from dataclasses import replace
+
+    sig = _bounded_simhash32(spark, sf_dir)
     pairs, _metrics = candidate_pairs_simhash(sig, replace(CFG, simhash_bits=32))
     return pairs.select(
         F.col("url_a").cast("long").alias("doc_a"),
@@ -1140,11 +1168,7 @@ def _simhash_bounded_oracle_sql() -> str:
     """DuckDB mirror of q_simhash_pairs_bounded: the same 32 majority-vote
     bit expressions over ``hs.h``, pigeonhole blocks as (simhash >> 8k) &
     255 tuples, verify with bit_count(xor) <= radius."""
-    bit_terms = "\n         + ".join(
-        f"CASE WHEN 2 * len(list_filter(h, x -> ((x >> {j}) & 1) = 1))"
-        f" > n_shingles THEN CAST(1 AS BIGINT) << {j} ELSE 0 END"
-        for j in range(32)
-    )
+    bit_terms = _SIMHASH32_BIT_TERMS_SQL
     block_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, simhash, {k} AS block,"
         f" (simhash >> {8 * k}) & 255 AS block_val FROM sig"
@@ -1196,7 +1220,17 @@ def q_substr_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (199 docs < max_fingerprint_group=200).  The per-pair suffix-array
     VERIFY stage stays pytest-verified (vs difflib) — LCS is not
     SQL-statable.  All JVM builtins on the Spark side — no UDF."""
-    g, w = _SUBSTR_BOUNDED_G, _SUBSTR_BOUNDED_W
+    return _substr_pairs_bounded_impl(
+        spark, sf_dir, _SUBSTR_BOUNDED_G, _SUBSTR_BOUNDED_W
+    )
+
+
+def _substr_pairs_bounded_impl(
+    spark: SparkSession, sf_dir: str, g: int, w: int
+) -> DataFrame:
+    """The winnow-candidate twin body, parametrized by (g-gram length,
+    winnow window) so a second config can be driver-verified — see
+    q_substr_pairs_bounded for the kernel-swap rationale."""
     docs = _documents(spark, sf_dir).filter(
         (F.col("doc_id") < _BOUNDED_SLICE) & (F.length("text") >= g)
     )
@@ -1246,28 +1280,182 @@ def q_substr_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SUBSTR_PAIRS_BOUNDED = rf"""
+def _substr_bounded_oracle_sql(g: int, w: int) -> str:
+    """DuckDB mirror of _substr_pairs_bounded_impl for a given (g, w)."""
+    return rf"""
 WITH docs AS (
   SELECT doc_id, text FROM documents
-  WHERE doc_id < {_BOUNDED_SLICE} AND len(text) >= {_SUBSTR_BOUNDED_G}
+  WHERE doc_id < {_BOUNDED_SLICE} AND len(text) >= {g}
 ),
 hs AS (
   SELECT doc_id,
-         [CAST(('0x' || substr(sha256(substr(text, i, {_SUBSTR_BOUNDED_G})), 1, 8)) AS BIGINT)
-          for i in range(1, len(text) - {_SUBSTR_BOUNDED_G} + 2)] AS h
+         [CAST(('0x' || substr(sha256(substr(text, i, {g})), 1, 8)) AS BIGINT)
+          for i in range(1, len(text) - {g} + 2)] AS h
   FROM docs
 ),
 fps AS (
   SELECT doc_id,
          list_distinct(
-           [list_min(h[j:j+{_SUBSTR_BOUNDED_W - 1}])
-            for j in range(1, len(h) - {_SUBSTR_BOUNDED_W} + 2)]) AS fp
-  FROM hs WHERE len(h) >= {_SUBSTR_BOUNDED_W}
+           [list_min(h[j:j+{w - 1}])
+            for j in range(1, len(h) - {w} + 2)]) AS fp
+  FROM hs WHERE len(h) >= {w}
 ),
 e AS (SELECT doc_id, unnest(fp) AS fp FROM fps)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
 """
+
+
+SQL_SUBSTR_PAIRS_BOUNDED = _substr_bounded_oracle_sql(
+    _SUBSTR_BOUNDED_G, _SUBSTR_BOUNDED_W
+)
+
+
+# --------------------------------------------------------------------------
+# second-config twins (VERDICT r4 #5): each near-dup stage re-verified at a
+# DIFFERENT config point, so the green rows demonstrate config-GENERIC
+# correctness — a band-indexing off-by-one tied to one (k, b, r), a block
+# width bug tied to 8-bit blocks, or a winnow bug tied to one (g, w) would
+# slip past a single lucky config.
+# --------------------------------------------------------------------------
+
+#: alt LSH config: word-3-gram shingles, 16 perms banded 8 bands x 2 rows
+#: (vs production-shaped 5-gram / 4x4 in the primary twin)
+_ALT_SHINGLE_K = 3
+_ALT_BANDS, _ALT_ROWS = 8, 2
+
+
+def q_lsh_pairs_bounded_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 re-verified at a SECOND config: k=3 shingles, 8 bands of 2 rows.
+    Same REAL ``candidate_pairs_lsh`` operator, same SQL-statable signature
+    kernel — only the config point moves, so a bug that depends on shingle
+    size or band indexing (e.g. an off-by-one in the band slice at r != 4)
+    cannot hide behind the primary twin's green."""
+    from dataclasses import replace
+
+    sig = _bounded_sig16(spark, sf_dir, k=_ALT_SHINGLE_K).select(
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
+        F.array(
+            *[F.col(f"sig_{j:02d}") for j in range(_MINHASH_BOUNDED_PERMS)]
+        ).alias("minhash"),
+    )
+    cfg = replace(
+        CFG,
+        minhash_perms=_MINHASH_BOUNDED_PERMS,
+        lsh_bands=_ALT_BANDS,
+        lsh_rows=_ALT_ROWS,
+    )
+    pairs, _metrics = candidate_pairs_lsh(sig, cfg)
+    return pairs.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+    )
+
+
+def _lsh_bounded_alt_oracle_sql() -> str:
+    """DuckDB mirror of q_lsh_pairs_bounded_alt: k=3 shingle CTE, bands as
+    the raw 2-row value tuples, 8 bands."""
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {k} AS band, "
+        f"[{', '.join(f'sig_{_ALT_ROWS * k + r:02d}' for r in range(_ALT_ROWS))}]"
+        f" AS key FROM sig"
+        for k in range(_ALT_BANDS)
+    )
+    return f"""
+{_bounded_hashes_cte(k=_ALT_SHINGLE_K)},
+sig AS (
+  SELECT doc_id,
+       {_bounded_sig16_sql_exprs()}
+  FROM hs
+),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_LSH_PAIRS_BOUNDED_ALT = _lsh_bounded_alt_oracle_sql()
+
+#: alt pigeonhole config: 8 blocks of 4 bits, radius 5 (vs 4 blocks of
+#: 8 bits, radius 3) — different block width AND verify threshold
+_ALT_SIMHASH_BLOCKS, _ALT_SIMHASH_RADIUS = 8, 5
+
+
+def q_simhash_pairs_bounded_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 re-verified at a SECOND pigeonhole config: the same 32-bit
+    SQL-statable SimHash split into 8 blocks of 4 bits with Hamming radius 5
+    (blocks > radius still holds).  Exercises a different block width, block
+    count, and verify threshold through the REAL operator."""
+    from dataclasses import replace
+
+    sig = _bounded_simhash32(spark, sf_dir)
+    pairs, _metrics = candidate_pairs_simhash(
+        sig,
+        replace(
+            CFG,
+            simhash_bits=32,
+            simhash_blocks=_ALT_SIMHASH_BLOCKS,
+            simhash_radius=_ALT_SIMHASH_RADIUS,
+        ),
+    )
+    return pairs.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def _simhash_bounded_alt_oracle_sql() -> str:
+    """DuckDB mirror of q_simhash_pairs_bounded_alt: same 32 majority-vote
+    bit terms, blocks as (simhash >> 4k) & 15, verify bit_count(xor) <= 5."""
+    width = 32 // _ALT_SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    block_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {k} AS block,"
+        f" (simhash >> {width * k}) & {mask} AS block_val FROM sig"
+        for k in range(_ALT_SIMHASH_BLOCKS)
+    )
+    return f"""
+{_BOUNDED_HASHES_CTE},
+sig AS (
+  SELECT doc_id,
+         {_SIMHASH32_BIT_TERMS_SQL} AS simhash
+  FROM hs
+),
+blocks AS (
+{block_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM blocks a
+JOIN blocks b ON a.block = b.block AND a.block_val = b.block_val
+             AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_ALT_SIMHASH_RADIUS}
+"""
+
+
+SQL_SIMHASH_PAIRS_BOUNDED_ALT = _simhash_bounded_alt_oracle_sql()
+
+#: alt winnow config: 30-char g-grams, window 20 (guarantee length 49) —
+#: denser fingerprints, different window arithmetic than the production 50/40
+_ALT_SUBSTR_G, _ALT_SUBSTR_W = 30, 20
+
+
+def q_substr_pairs_bounded_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (candidate stage) re-verified at a SECOND winnow config (g=30,
+    w=20): same REAL ``candidate_pairs_substr`` operator and sha256-prefix
+    kernel, different gram length and window — the window-min arithmetic
+    (slice bounds, short-doc exclusion threshold) is exercised at a new
+    point."""
+    return _substr_pairs_bounded_impl(spark, sf_dir, _ALT_SUBSTR_G, _ALT_SUBSTR_W)
+
+
+SQL_SUBSTR_PAIRS_BOUNDED_ALT = _substr_bounded_oracle_sql(
+    _ALT_SUBSTR_G, _ALT_SUBSTR_W
+)
 
 
 def q_near_dup_clusters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2253,6 +2441,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash_pairs_bounded": q_simhash_pairs_bounded,
     "substr_pairs_bounded": q_substr_pairs_bounded,
+    # second-config twins: the same REAL operators at a different
+    # (k, bands, rows) / (blocks, radius) / (g, w) point, so green rows
+    # demonstrate config-generic correctness, not one lucky config
+    "lsh_pairs_bounded_alt": q_lsh_pairs_bounded_alt,
+    "simhash_pairs_bounded_alt": q_simhash_pairs_bounded_alt,
+    "substr_pairs_bounded_alt": q_substr_pairs_bounded_alt,
     "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -2306,6 +2500,9 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED,
     "simhash_pairs_bounded": SQL_SIMHASH_PAIRS_BOUNDED,
     "substr_pairs_bounded": SQL_SUBSTR_PAIRS_BOUNDED,
+    "lsh_pairs_bounded_alt": SQL_LSH_PAIRS_BOUNDED_ALT,
+    "simhash_pairs_bounded_alt": SQL_SIMHASH_PAIRS_BOUNDED_ALT,
+    "substr_pairs_bounded_alt": SQL_SUBSTR_PAIRS_BOUNDED_ALT,
     "near_dup_clusters_bounded": SQL_NEAR_DUP_CLUSTERS_BOUNDED,
     "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS_INCREMENTAL,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,

@@ -46,6 +46,14 @@ def canonicalize_url(url: Column) -> Column:
     4. remove tracking query params (TRACKING_PARAMS), then repair the
        separators they leave behind (``?&`` → ``?``, ``&&`` runs → ``&``,
        trailing ``?``/``&`` dropped)
+
+    The tracking-param match is anchored on its ``[?&]`` separator (kept via
+    backreference in the replacement), so a param that merely *ends* in a
+    tracking name (``?xgclid=5``, ``&myutm_x=3``) survives intact — the same
+    boundary discipline as the reference's suffix-anchored extension match
+    (src/scanner.rs:71-79).  A global pass handles runs of tracking params
+    because each match consumes its own separator, and the repair passes
+    absorb the separators the replacement re-emits.
     """
     no_frag = F.regexp_replace(url, r"#.*$", "")
     head = F.regexp_extract(no_frag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
@@ -56,7 +64,7 @@ def canonicalize_url(url: Column) -> Column:
     ).when(
         head.startswith("https://"), F.regexp_replace(head, r":443$", "")
     ).otherwise(head)
-    rest = F.regexp_replace(rest, TRACKING_PARAMS + r"=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"([?&])" + TRACKING_PARAMS + r"=[^&#]*", r"$1")
     rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
@@ -72,10 +80,16 @@ def html_to_text(html: Column) -> Column:
     collapses to single spaces.  A regex pass, not a spec-complete parser:
     exactly the trade a petabyte-scale extraction stage makes (parsing is
     per-row CPU; the dedup semantics only need DETERMINISTIC bytes, which
-    this is — same input, same output, either engine)."""
-    out = F.regexp_replace(
-        html, r"(?is)<(script|style)[^>]*>.*?</(script|style)>", " "
-    )
+    this is — same input, same output, either engine).
+
+    script and style blocks strip through SEPARATE regexes (not an
+    alternation on both sides, which would let ``</style>`` close a
+    ``<script>`` block) — still backreference-free Java∩RE2.  Known
+    documented trade: ``<[^>]+>`` truncates at a literal ``>`` inside an
+    attribute value (``<a title="a>b">`` leaves ``b">`` behind) —
+    deterministic on both engines, acceptable for dedup fingerprinting."""
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
     out = F.regexp_replace(out, r"<[^>]+>", " ")
     for ent, rep in HTML_ENTITIES:
@@ -98,7 +112,7 @@ def canonicalize_url_sql(expr: str) -> str:
     )
     rest = f"substr({no_frag}, length({head}) + 1)"
     rest = (
-        f"regexp_replace({rest}, '{TRACKING_PARAMS}=[^&#]*', '', 'g')"
+        f"regexp_replace({rest}, '([?&]){TRACKING_PARAMS}=[^&#]*', '\\1', 'g')"
     )
     rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
@@ -109,8 +123,9 @@ def canonicalize_url_sql(expr: str) -> str:
 def html_to_text_sql(expr: str) -> str:
     """DuckDB SQL stating html_to_text over ``expr`` verbatim."""
     out = (
-        f"regexp_replace({expr}, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+        f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
     )
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
     out = f"regexp_replace({out}, '<[^>]+>', ' ', 'g')"
     for ent, rep in HTML_ENTITIES:

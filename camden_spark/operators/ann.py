@@ -151,15 +151,27 @@ def train_ivf_centroids(
     deliberate collect in this module — quantizer training is a fixed-size
     driver/offline step even at 100 TB).
 
-    The sample is ``.sample(fraction, seed)`` — a stateless per-partition
-    Bernoulli filter, NO full-corpus TakeOrdered — sized from the parquet
-    row count (a metadata-only job).  The sampled subset (≈ sample_rows
-    rows) is then sorted by id and truncated, so the training set is
-    deterministic for a fixed input layout; k-means init is seeded on top.
+    Two regimes, split at ``10 * sample_rows``:
+
+    * small / derived inputs (≤ 10× the sample size): plain
+      ``orderBy(id).limit`` (TakeOrdered) — layout-INDEPENDENT, so centroids
+      are bit-deterministic regardless of how the input was partitioned or
+      derived.  The full-scan cost is bounded by the cutoff itself.
+    * large corpora: ``.sample(fraction, seed)`` — a stateless per-partition
+      Bernoulli filter, NO full-corpus TakeOrdered.  The sampled subset
+      (≈ sample_rows rows) is then sorted by id and truncated, so training
+      is deterministic for a fixed input layout (Bernoulli keeps/drops each
+      row independently, but WHICH rows a partition holds is layout);
+      k-means init is seeded on top.
+
+    ``count()`` here is a real job (cheap only when ``vectors`` is a bare
+    parquet scan, where footers answer it); for derived inputs it costs one
+    pass over the (column-pruned) plan — acceptable for an offline training
+    step that runs once per index build.
     """
     base = vectors.select(id_col, vec_col)
-    total = base.count()  # column-pruned; parquet answers from footers
-    if total > sample_rows:
+    total = base.count()
+    if total > 10 * sample_rows:
         # 1.2x oversample so the post-sample limit almost surely has
         # sample_rows rows to keep (Bernoulli variance at 20k draws ≪ 20%)
         frac = min(1.0, 1.2 * sample_rows / total)
@@ -218,6 +230,13 @@ def ivf_topk(
     EXACTLY brute-force top-k (each vector scored once via its unique cell) —
     that configuration is driver-hash-verified against the ann_topk oracle;
     reduced-probe recall is asserted in tests.
+
+    The cell join carries NO broadcast hint: for a handful of probe queries
+    AQE broadcasts the exploded query side from its measured size; for a
+    large query batch (corpus-vs-corpus retrieval) it picks a shuffled
+    cell-keyed join instead — the same hint-removal discipline as the
+    incremental-ingest dedup path (a hard-coded broadcast of q is a
+    scale-killer when |Q|·n_probe outgrows the executors).
     """
     if centroids is None:
         centroids = train_ivf_centroids(
@@ -234,7 +253,7 @@ def ivf_topk(
         ).alias("cell"),
     )
     scored = (
-        v.join(F.broadcast(q), "cell")
+        v.join(q, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine_sim", F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6)

@@ -38,7 +38,11 @@ Scale notes:
   an order of magnitude of needless exchange bytes per iteration.  Node ids
   are ``xxhash64(seed, url)``; a driver-side uniqueness check (one tiny agg
   over the id table) retries with the next seed on collision (p ≈ n²/2^65
-  per seed), so ids are injective BY CONSTRUCTION, not by hope.  The
+  per seed), so ids are injective BY CONSTRUCTION, not by hope.  If EVERY
+  seed collides (the birthday regime, node set near 2^32), the loop falls
+  back to url-string node ids instead of failing — correct at any scale,
+  paying the wider shuffle only where 64-bit ids mathematically cannot
+  work.  The
   url→min-url cluster semantics are restored after convergence by ONE
   groupBy(component) → min(url) join — cluster ids remain the lexicographic
   min url, the deterministic first-wins canonical member (camden keeps
@@ -56,6 +60,10 @@ from pyspark.sql import DataFrame, Observation
 
 from camden_spark.config import DedupConfig
 from camden_spark.plans.caches import track_release
+
+#: seeds tried for injective 64-bit node ids before the url-string fallback
+#: (module-level so tests can monkeypatch it to force the fallback path)
+ID_SEEDS: tuple[int, ...] = tuple(range(42, 48))
 
 
 def _persistent_rdds(spark) -> dict:
@@ -127,7 +135,9 @@ def connected_components(
         .distinct()
     )
     nodes = None
-    for seed in range(42, 48):
+    node_id_mode = "xxhash64"
+    seed = None
+    for seed in ID_SEEDS:
         cand = raw_nodes.withColumn(
             "nid", F.xxhash64(F.lit(seed), F.col("url"))
         )
@@ -138,12 +148,32 @@ def connected_components(
         if n_urls == n_ids:
             nodes = cand
             break
-    if nodes is None:  # 6 consecutive 2^-65-likelihood events
-        raise RuntimeError("connected_components: node-id hashing collided "
-                           "for every seed in 42..47")
+    if nodes is not None:
+        def nid(col: str, _seed: int = seed) -> F.Column:
+            return F.xxhash64(F.lit(_seed), F.col(col))
+    else:
+        # Seed exhaustion is NOT a fluke at scale: once the node set nears
+        # 2^32, birthday collisions are near-certain for EVERY 64-bit seed
+        # (p ≈ n²/2^65 per seed), so raising here would make CC unavailable
+        # at exactly the scale it was built for.  Fall back to url-string
+        # node ids — the loop below is generic over the nid type (joins,
+        # min, least, < all work on strings), so correctness holds at any
+        # scale; the cost is the wider per-iteration label shuffle the long
+        # ids exist to avoid, paid only in the collision regime.
+        node_id_mode = "url"
+        warnings.warn(
+            "connected_components: xxhash64 node ids collided for every "
+            "seed in ID_SEEDS (expected only near ~2^32 nodes) — falling "
+            "back to url-string node ids (correct, wider shuffle)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        nodes = truncate(
+            raw_nodes.withColumn("nid", F.col("url")), "cc_nodes"
+        )
 
-    def nid(col: str) -> F.Column:
-        return F.xxhash64(F.lit(seed), F.col(col))
+        def nid(col: str) -> F.Column:
+            return F.col(col)
 
     sym = truncate(
         edges.select(nid("url_a").alias("src"), nid("url_b").alias("dst"))
@@ -224,6 +254,7 @@ def connected_components(
         status["converged"] = converged
         status["iterations"] = iterations
         status["checkpoint"] = "local" if checkpoint_dir is None else "reliable"
+        status["node_id"] = node_id_mode
     if checkpoint_dir is None:
         created = {
             i: r
@@ -272,6 +303,11 @@ def incremental_clusters(
     ``new_edges``: (url_a, url_b).  Returns (url, cluster_id) over every
     url present in either input, cluster_id = min url of the merged
     component, singletons included with cluster_id = own url.
+
+    Coverage is robust to a ``prev`` table that omits the canonical's own
+    (url == cluster_id) row: every ``prev.cluster_id`` is a member url by
+    construction, so it is unioned into the output url set explicitly —
+    a canonical referenced only by star edges still gets its own row.
     """
     star = prev.filter(F.col("url") != F.col("cluster_id")).select(
         F.col("url").alias("url_a"), F.col("cluster_id").alias("url_b")
@@ -279,6 +315,7 @@ def incremental_clusters(
     edges = star.unionByName(new_edges.select("url_a", "url_b"))
     all_urls = (
         prev.select("url")
+        .unionByName(prev.select(F.col("cluster_id").alias("url")))
         .unionByName(new_edges.select(F.col("url_a").alias("url")))
         .unionByName(new_edges.select(F.col("url_b").alias("url")))
         .distinct()

@@ -329,3 +329,52 @@ def test_incremental_clusters_new_urls_only_in_batch(spark):
     new = spark.createDataFrame([("p", "q")], ["url_a", "url_b"])
     got = {r["url"]: r["cluster_id"] for r in incremental_clusters(prev, new).collect()}
     assert got == {"a": "a", "b": "a", "z": "z", "p": "p", "q": "p"}
+
+
+def test_incremental_clusters_prev_missing_canonical_self_row(spark):
+    """A prev table that omits the canonical's own (url == cluster_id) row
+    still yields the canonical in the output: prev.cluster_id values are
+    member urls by construction and are unioned into the url set."""
+    from camden_spark.operators.components import incremental_clusters
+
+    # canonical "a" appears only as a cluster_id, never as a url row
+    prev = spark.createDataFrame(
+        [("b", "a"), ("c", "a")], ["url", "cluster_id"]
+    )
+    new = spark.createDataFrame([("c", "d")], ["url_a", "url_b"])
+    got = {r["url"]: r["cluster_id"] for r in incremental_clusters(prev, new).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_connected_components_url_fallback_when_seeds_exhausted(spark, monkeypatch):
+    """With every 64-bit id seed exhausted (the ~2^32-node birthday regime,
+    forced here by emptying ID_SEEDS), CC must fall back to url-string node
+    ids — same clusters, loud warning, status says node_id='url'."""
+    import warnings as _warnings
+
+    from camden_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["url_a", "url_b"]
+    )
+    monkeypatch.setattr(C, "ID_SEEDS", ())
+    status: dict = {}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        comp = {
+            r["url"]: r["cluster_id"]
+            for r in C.connected_components(edges, status=status).collect()
+        }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    assert status["node_id"] == "url"
+    assert status["converged"] is True
+    assert any("url-string node ids" in str(w.message) for w in caught)
+
+
+def test_connected_components_status_reports_hashed_ids(spark):
+    status: dict = {}
+    edges = spark.createDataFrame([("a", "b")], ["url_a", "url_b"])
+    from camden_spark.operators.components import connected_components
+
+    connected_components(edges, status=status).collect()
+    assert status["node_id"] == "xxhash64"

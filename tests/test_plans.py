@@ -462,3 +462,88 @@ def test_dedup_incremental_broadcast_gate(spark):
         assert rows_default == rows_gated  # plan flip, identical answer
     finally:
         spark.conf.set(key, old)
+
+
+def test_ivf_topk_broadcast_gate(spark):
+    """ivf_topk carries NO broadcast hint on the exploded query side: with
+    the default autoBroadcastJoinThreshold a handful of probe queries still
+    broadcast (AQE measured them), and with broadcasting disabled the SAME
+    call flips to a shuffled cell-keyed join with an identical answer — the
+    property a hard-coded F.broadcast(q) destroys for corpus-vs-corpus
+    retrieval batches."""
+    import pandas as pd
+
+    from camden_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(23)
+    vecs = rng.standard_normal((120, 16)).astype(float)
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(v) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") < 4)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        res_default = ivf_topk(df, q, k=8, n_cells=8, n_probe=2, seed=7)
+        plan_default = _final_plan_str(res_default)
+        assert "Broadcast" in plan_default, (
+            "4 probe queries should broadcast under the default threshold"
+        )
+        rows_default = sorted(map(tuple, res_default.collect()))
+        spark.conf.set(key, "-1")
+        res_gated = ivf_topk(df, q, k=8, n_cells=8, n_probe=2, seed=7)
+        plan_gated = _final_plan_str(res_gated)
+        assert "BroadcastHashJoin" not in plan_gated, (
+            "query side must flip to a shuffled join when broadcasting is "
+            "off — a residual broadcast means a hard-coded hint"
+        )
+        rows_gated = sorted(map(tuple, res_gated.collect()))
+        assert rows_default == rows_gated  # plan flip, identical answer
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_sig_backend_flips_checkpoint_identity(tmp_path, spark):
+    """cfg.sig_backend feeds config_hash, so flipping backends must NOT
+    resume from the other backend's snapshots: each backend gets its own
+    config-hash directory and recomputes, and the two runs agree on
+    clusters (backend is an execution detail, not a semantic knob)."""
+    import datetime as _dt
+
+    from camden_spark.config import DedupConfig
+
+    assert (
+        DedupConfig(sig_backend="arrow").config_hash()
+        != DedupConfig(sig_backend="jvm").config_hash()
+    )
+
+    ts = _dt.datetime(2025, 1, 1)
+    rows = [
+        (f"https://e.x/{i}", ts, None,
+         ("alpha beta gamma delta epsilon zeta " * 8) + (str(i) if i < 3 else ""),
+         "en")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def run(backend):
+        p = DedupPipeline(
+            cfg=DedupConfig(sig_backend=backend),
+            checkpoint_dir=str(tmp_path),
+        )
+        res = p.run(df)
+        out = sorted((r["url"], r["cluster_id"]) for r in res.clusters.collect())
+        res.release()
+        return out, p.cfg.config_hash()
+
+    out_arrow, hash_arrow = run("arrow")
+    dirs_after_arrow = set(os.listdir(tmp_path))
+    assert hash_arrow in dirs_after_arrow
+    out_jvm, hash_jvm = run("jvm")
+    # a fresh config-hash directory appeared: the jvm run recomputed rather
+    # than reusing stale arrow-keyed signature snapshots
+    assert hash_jvm in set(os.listdir(tmp_path)) - dirs_after_arrow
+    assert out_arrow == out_jvm

@@ -32,6 +32,18 @@ URL_CASES = [
     ("http://site.example:443/x", "http://site.example:443/x"),
     # path/query case is significant
     ("https://Site.Example/CaseS?Q=Vv", "https://site.example/CaseS?Q=Vv"),
+    # boundary discipline: params that merely END in a tracking name survive
+    ("https://site.example/x?xgclid=5&myutm_x=3",
+     "https://site.example/x?xgclid=5&myutm_x=3"),
+    # an unencoded value containing a tracking-looking substring survives
+    ("https://site.example/x?q=see+utm_a%3Db&keep=1",
+     "https://site.example/x?q=see+utm_a%3Db&keep=1"),
+    # mixed: real tracking params drop, look-alikes stay
+    ("https://site.example/x?xfbclid=1&gclid=real&keep=2",
+     "https://site.example/x?xfbclid=1&keep=2"),
+    # consecutive tracking params all drop (each match eats its own separator)
+    ("https://site.example/x?utm_a=1&utm_b=2&keep=1",
+     "https://site.example/x?keep=1"),
 ]
 
 HTML_CASES = [
@@ -45,6 +57,10 @@ HTML_CASES = [
     ("x &amp;lt; y", "x &lt; y"),
     ("  <div>\n spaced \t text </div>  ", "spaced text"),
     ("<SCRIPT a=b>s</SCRIPT>kept", "kept"),
+    # cross-close must NOT terminate the block: a stray </style> inside a
+    # <script> block (and vice versa) is script text, dropped with the block
+    ("<script>a '</style>' b</script>after", "after"),
+    ("<style>s '</script>' t</style>after", "after"),
 ]
 
 
