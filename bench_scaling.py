@@ -49,8 +49,16 @@ def ensure_corpus(n_docs: int, words: tuple[int, int], path: str) -> str:
     return path
 
 
-def run_once(cores: int, corpus: str, out: str) -> dict:
+def run_once(
+    cores: int,
+    corpus: str,
+    out: str,
+    extra_env: dict[str, str] | None = None,
+    taskset_cores: int | None = None,
+    label: str | None = None,
+) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"))
+    env.update(extra_env or {})
     # Shuffle/spill local dirs on tmpfs: every leg shares this box's ONE
     # virtual disk, so disk-backed shuffle measures device contention that
     # a real N→4N scale-out does not have (each added node brings its own
@@ -70,8 +78,9 @@ def run_once(cores: int, corpus: str, out: str) -> dict:
     # stages, inflating the low leg and corrupting the N→4N ratio.  A real
     # 2-core executor has no spare silicon to borrow.
     prefix = []
+    pin_n = taskset_cores if taskset_cores is not None else cores
     if shutil.which("taskset"):
-        prefix = ["taskset", "-c", f"0-{cores - 1}"]
+        prefix = ["taskset", "-c", f"0-{pin_n - 1}"]
     proc = subprocess.run(
         prefix
         + [sys.executable, os.path.join(REPO, "main.py"),
@@ -84,11 +93,12 @@ def run_once(cores: int, corpus: str, out: str) -> dict:
     wall = time.time() - t0
     if proc.returncode != 0:
         print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
-        raise RuntimeError(f"run at local[{cores}] failed")
+        raise RuntimeError(f"run at {label or f'local[{cores}]'} failed")
     with open(os.path.join(out, "summary.json")) as f:
         summary = json.load(f)
     summary["wall_sec_incl_startup"] = round(wall, 1)
     summary["cores"] = cores
+    summary["label"] = label or f"local[{cores}]"
     summary["pinned"] = bool(prefix)
     # persist the merged summary so --from-existing keeps the pin flag
     with open(os.path.join(out, "summary.json"), "w") as f:
@@ -100,9 +110,7 @@ def _repeat_note(result: dict) -> str:
     if result.get("repeat", 1) <= 1:
         return ""
     spread = "; ".join(
-        f"local[{c}]: {v}" for c, v in sorted(
-            result["samples_sec"].items(), key=lambda kv: int(kv[0])
-        )
+        f"{k}: {v}" for k, v in result["samples_sec"].items()
     )
     return (
         f"\nPer-leg wall = MIN over {result['repeat']} interleaved "
@@ -120,6 +128,20 @@ def main() -> None:
     ap.add_argument("--words-hi", type=int, default=300)
     ap.add_argument("--cores", type=int, nargs="+", default=[2, 8, 32])
     ap.add_argument(
+        "--exec-legs",
+        type=int,
+        nargs="+",
+        default=None,
+        help="EXECUTOR-SHAPE legs (the north rule's literal N→4N executor "
+        "semantics, cross-executor netty shuffle included): executor counts "
+        "per leg, e.g. --exec-legs 1 4 runs local-cluster[1,C,M] vs "
+        "local-cluster[4,C,M] with each executor JVM pinned to its own "
+        "C-core slice and the driver on a reserved slice",
+    )
+    ap.add_argument("--cores-per-exec", type=int, default=2)
+    ap.add_argument("--exec-mem-mb", type=int, default=6144)
+    ap.add_argument("--driver-cores", type=int, default=2)
+    ap.add_argument(
         "--repeat",
         type=int,
         default=1,
@@ -135,17 +157,44 @@ def main() -> None:
     args = ap.parse_args()
 
     work = os.environ.get("BENCH_WORKDIR", "/tmp/camden_bench")
-    levels = args.cores
+    cpe, mem, dc = args.cores_per_exec, args.exec_mem_mb, args.driver_cores
+    if args.exec_legs:
+        # the rule's literal shape: N vs 4N executor JVMs, each pinned to
+        # its own cpe-core slice, the driver on a reserved dc-core slice
+        # (a real cluster's driver is a separate machine), cross-executor
+        # shuffle over netty included
+        legs = [
+            {
+                "cores": n * cpe,
+                "label": f"local-cluster[{n},{cpe},{mem}]",
+                "out": f"out_lc{n}x{cpe}",
+                "extra_env": {
+                    "SPARK_GRAFT_MASTER": f"local-cluster[{n},{cpe},{mem}]",
+                    "SPARK_GRAFT_PIN_EXECUTORS": str(cpe),
+                    "SPARK_GRAFT_DRIVER_CORES": str(dc),
+                },
+                "taskset": dc + n * cpe,
+            }
+            for n in args.exec_legs
+        ]
+    else:
+        legs = [
+            {"cores": c, "label": f"local[{c}]", "out": f"out{c}",
+             "extra_env": {}, "taskset": c}
+            for c in args.cores
+        ]
+    levels = [leg["cores"] for leg in legs]
     if args.from_existing:
         runs = []
-        for c in levels:
-            p = os.path.join(work, f"out{c}", "summary.json")
+        for leg in legs:
+            p = os.path.join(work, leg["out"], "summary.json")
             if not os.path.exists(p):  # older workdirs may lack some legs
-                print(f"skipping local[{c}]: no {p}", file=sys.stderr)
+                print(f"skipping {leg['label']}: no {p}", file=sys.stderr)
                 continue
             with open(p) as f:
                 s = json.load(f)
-            s["cores"] = c
+            s["cores"] = leg["cores"]
+            s.setdefault("label", leg["label"])
             runs.append(s)
         if len(runs) < 2:
             raise SystemExit("need at least two existing legs for a report")
@@ -157,20 +206,25 @@ def main() -> None:
         # interleave repetitions ([2,8,32], [2,8,32], ...) rather than
         # repeating each leg back-to-back, so slow host drift hits every
         # leg equally instead of biasing one
-        samples: dict[int, list[dict]] = {c: [] for c in levels}
+        samples: dict[str, list[dict]] = {leg["label"]: [] for leg in legs}
         for _rep in range(max(1, args.repeat)):
-            for c in levels:
-                samples[c].append(
-                    run_once(c, corpus, os.path.join(work, f"out{c}"))
+            for leg in legs:
+                samples[leg["label"]].append(
+                    run_once(
+                        leg["cores"], corpus, os.path.join(work, leg["out"]),
+                        extra_env=leg["extra_env"],
+                        taskset_cores=leg["taskset"],
+                        label=leg["label"],
+                    )
                 )
         runs = []
-        for c in levels:
-            best = min(samples[c], key=lambda s: s["elapsed_sec"])
+        for leg in legs:
+            best = min(samples[leg["label"]], key=lambda s: s["elapsed_sec"])
             runs.append(
                 dict(
                     best,
                     samples_sec=[
-                        s["elapsed_sec"] for s in samples[c]
+                        s["elapsed_sec"] for s in samples[leg["label"]]
                     ],
                 )
             )
@@ -201,10 +255,13 @@ def main() -> None:
     all_pinned = all(r.get("pinned") for r in runs)
     result = {
         "n_docs": args.docs,
+        "mode": "executor-shape" if args.exec_legs else "single-jvm-cores",
         "levels": levels,
+        "labels": [r.get("label", f"local[{r['cores']}]") for r in runs],
         "repeat": getattr(args, "repeat", 1),
         "samples_sec": {
-            str(r["cores"]): r.get("samples_sec", [r["elapsed_sec"]])
+            r.get("label", f"local[{r['cores']}]"):
+                r.get("samples_sec", [r["elapsed_sec"]])
             for r in runs
         },
         "pinned": all_pinned,
@@ -237,7 +294,10 @@ def main() -> None:
         "available before citing these numbers."
     )
     leg_rows = "\n".join(
-        f"| local[{r['cores']}] | {r['elapsed_sec']} | {r['docs_per_sec']} |"
+        "| {} | {} | {} |".format(
+            r.get("label", "local[{}]".format(r["cores"])),
+            r["elapsed_sec"], r["docs_per_sec"],
+        )
         for r in runs
     )
     pair_rows = "\n".join(
@@ -252,13 +312,27 @@ def main() -> None:
         )
         for p in pairs
     )
+    mode_note = ""
+    if args.exec_legs:
+        mode_note = (
+            "\nEXECUTOR-SHAPE legs: each level is a separate executor FLEET "
+            f"inside ONE job — local-cluster[N,{cpe},{mem}] runs N executor "
+            f"JVMs x {cpe} cores, each executor JVM sched_setaffinity-pinned "
+            "to its OWN disjoint core slice (python UDF daemons fork after "
+            "pinning and inherit it) with the driver (python + gateway JVM "
+            f"holding master/workers) on a reserved {dc}-core slice, mirroring "
+            "a real cluster's separate driver node.  This is literally the "
+            "same job on the same input at N and 4N executors, cross-executor "
+            "netty shuffle included — the north rule's stated semantics, not "
+            "a thread-count proxy.\n"
+        )
     md = f"""# BENCH — measured scaling evidence
 
 Sandbox stand-in for the N → 4N executor scaling rule (no real cluster):
 the SAME full dedup pipeline (exact + MinHash/LSH + SimHash + substring + CC)
 on the SAME seeded {args.docs:,}-doc corpus at each parallelism level,
 fresh JVM per run, idle machine.  {pin_note}
-{_repeat_note(result)}
+{mode_note}{_repeat_note(result)}
 
 | parallelism | pipeline wall (s) | docs/sec |
 |---|---|---|

@@ -864,7 +864,8 @@ _BOUNDED_SLICE = 199
 
 
 def _bounded_token_hashes(
-    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5,
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_shingles, h) for doc_id < ``bound`` — the shared SQL-statable
     kernel under every *_bounded twin: word-5-gram shingles (the exact
@@ -872,8 +873,15 @@ def _bounded_token_hashes(
     builder) hashed to 32-bit sha256 prefixes (sha2 is byte-identical across
     engines — the SQL-expressible stand-in for the production polynomial
     kernel in functions/hashing.py:batch_token_hashes, whose uint64
-    wraparound DuckDB cannot state).  All JVM builtins, no UDF."""
-    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < bound)
+    wraparound DuckDB cannot state).  All JVM builtins, no UDF.
+
+    ``texts`` overrides the input relation: a (doc_id, text) DataFrame from
+    an upstream stage (the webtext pipeline row feeds exact-stage survivors
+    here) instead of the raw bounded documents slice."""
+    if texts is not None:
+        docs = texts
+    else:
+        docs = _documents(spark, sf_dir).filter(F.col("doc_id") < bound)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
@@ -889,12 +897,17 @@ def _bounded_token_hashes(
     )
 
 
-def _bounded_hashes_cte(bound: int = _BOUNDED_SLICE, k: int = 5) -> str:
+def _bounded_hashes_cte(
+    bound: int = _BOUNDED_SLICE, k: int = 5, source: str | None = None
+) -> str:
     """DuckDB mirror of _bounded_token_hashes: CTE chain ending in
-    ``hs(doc_id, n_shingles, h)`` — shared prefix of every *_bounded oracle."""
+    ``hs(doc_id, n_shingles, h)`` — shared prefix of every *_bounded oracle.
+    ``source`` names an outer (doc_id, text) CTE to read instead of the
+    bounded documents slice (mirrors the Spark side's ``texts``)."""
+    from_rel = source if source else f"documents WHERE doc_id < {bound}"
     return rf"""WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '{_WS_SQL}+') AS t
-  FROM documents WHERE doc_id < {bound}
+  FROM {from_rel}
 ),
 sh AS (
   SELECT doc_id,
@@ -914,7 +927,8 @@ _BOUNDED_HASHES_CTE = _bounded_hashes_cte()
 
 
 def _bounded_sig16(
-    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5
+    spark: SparkSession, sf_dir: str, bound: int = _BOUNDED_SLICE, k: int = 5,
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_shingles, sig_00..sig_15): MinHash signatures whose every
     step is SQL-statable, so DuckDB can recompute them exactly.  The
@@ -923,7 +937,7 @@ def _bounded_sig16(
     (small_minhash_params) so products stay in int64 on both engines."""
     from camden_spark.functions.hashing import SQL_MINHASH_P, small_minhash_params
 
-    hs = _bounded_token_hashes(spark, sf_dir, bound=bound, k=k)
+    hs = _bounded_token_hashes(spark, sf_dir, bound=bound, k=k, texts=texts)
     a, b = small_minhash_params(_MINHASH_BOUNDED_PERMS, CFG.minhash_seed)
 
     def _perm_min(aj: int, bj: int):
@@ -988,9 +1002,17 @@ def q_lsh_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a self-join on the tuple itself.  The mega-band cap cannot fire here
     (199 docs < max_band_group=200), so the drop stage is provably a no-op
     and both engines see the same pair set."""
+    return _lsh_candidate_pairs_sig16(_bounded_sig16(spark, sf_dir))
+
+
+def _lsh_candidate_pairs_sig16(sig16: DataFrame) -> DataFrame:
+    """sig16 (doc_id, sig_00..sig_15) → (doc_a, doc_b) through the REAL
+    ``candidate_pairs_lsh`` at the bounded 4x4 banding — shared by
+    q_lsh_pairs_bounded and the webtext pipeline row so the two can never
+    drift apart."""
     from dataclasses import replace
 
-    sig = _bounded_sig16(spark, sf_dir).select(
+    sig = sig16.select(
         F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("url"),
         F.array(
             *[F.col(f"sig_{j:02d}") for j in range(_MINHASH_BOUNDED_PERMS)]
@@ -1004,17 +1026,18 @@ def q_lsh_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bounded_oracle_sql() -> str:
+def _lsh_bounded_oracle_sql(source: str | None = None) -> str:
     """DuckDB mirror of q_lsh_pairs_bounded: signatures via the shared CTE,
     bands as the raw 4-row value tuples (list equality), distinct a<b pairs
-    sharing at least one band."""
+    sharing at least one band.  ``source`` feeds an outer (doc_id, text)
+    CTE through the same chain (the webtext pipeline oracle)."""
     band_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {k} AS band, "
         f"[{', '.join(f'sig_{4 * k + r:02d}' for r in range(4))}] AS key FROM sig"
         for k in range(4)
     )
     return f"""
-{_BOUNDED_HASHES_CTE},
+{_bounded_hashes_cte(source=source)},
 sig AS (
   SELECT doc_id,
        {_bounded_sig16_sql_exprs()}
@@ -1107,15 +1130,18 @@ JOIN jb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 SQL_LSH_PAIRS_CAPPED = _lsh_capped_oracle_sql()
 
 
-def _bounded_simhash32(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bounded_simhash32(
+    spark: SparkSession, sf_dir: str, texts: DataFrame | None = None
+) -> DataFrame:
     """(url, simhash) — the SQL-statable 32-bit SimHash over the bounded
     slice: bit j is set iff more than half of the doc's shingle hashes (the
     shared sha256-prefix kernel of ``_bounded_token_hashes``) have bit j set
     — exactly the +1/-1 majority vote of the production simhash_flat, stated
     with JVM aggregate/shiftright builtins so DuckDB can recompute it
     verbatim.  Shared by BOTH pigeonhole configs (q_simhash_pairs_bounded
-    and its _alt twin)."""
-    hs = _bounded_token_hashes(spark, sf_dir)
+    and its _alt twin).  ``texts`` overrides the input relation (webtext
+    pipeline row)."""
+    hs = _bounded_token_hashes(spark, sf_dir, texts=texts)
 
     def _ones(j: int):
         return F.aggregate(
@@ -1153,9 +1179,15 @@ def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     production config with simhash_bits=32 (4 blocks of 8 bits, radius 3
     unchanged); the mega-group cap cannot fire (199 docs <
     max_simhash_group=200)."""
+    return _simhash_candidate_pairs32(_bounded_simhash32(spark, sf_dir))
+
+
+def _simhash_candidate_pairs32(sig: DataFrame) -> DataFrame:
+    """(url, simhash) → (doc_a, doc_b, hamming) through the REAL
+    ``candidate_pairs_simhash`` at simhash_bits=32 — shared by
+    q_simhash_pairs_bounded and the webtext pipeline row."""
     from dataclasses import replace
 
-    sig = _bounded_simhash32(spark, sf_dir)
     pairs, _metrics = candidate_pairs_simhash(sig, replace(CFG, simhash_bits=32))
     return pairs.select(
         F.col("url_a").cast("long").alias("doc_a"),
@@ -1164,10 +1196,11 @@ def q_simhash_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bounded_oracle_sql() -> str:
+def _simhash_bounded_oracle_sql(source: str | None = None) -> str:
     """DuckDB mirror of q_simhash_pairs_bounded: the same 32 majority-vote
     bit expressions over ``hs.h``, pigeonhole blocks as (simhash >> 8k) &
-    255 tuples, verify with bit_count(xor) <= radius."""
+    255 tuples, verify with bit_count(xor) <= radius.  ``source`` feeds an
+    outer (doc_id, text) CTE through the same chain."""
     bit_terms = _SIMHASH32_BIT_TERMS_SQL
     block_rows = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, simhash, {k} AS block,"
@@ -1175,7 +1208,7 @@ def _simhash_bounded_oracle_sql() -> str:
         for k in range(4)
     )
     return f"""
-{_BOUNDED_HASHES_CTE},
+{_bounded_hashes_cte(source=source)},
 sig AS (
   SELECT doc_id,
          {bit_terms} AS simhash
@@ -1226,14 +1259,19 @@ def q_substr_pairs_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substr_pairs_bounded_impl(
-    spark: SparkSession, sf_dir: str, g: int, w: int
+    spark: SparkSession, sf_dir: str, g: int, w: int,
+    texts: DataFrame | None = None,
 ) -> DataFrame:
     """The winnow-candidate twin body, parametrized by (g-gram length,
     winnow window) so a second config can be driver-verified — see
-    q_substr_pairs_bounded for the kernel-swap rationale."""
-    docs = _documents(spark, sf_dir).filter(
-        (F.col("doc_id") < _BOUNDED_SLICE) & (F.length("text") >= g)
-    )
+    q_substr_pairs_bounded for the kernel-swap rationale.  ``texts``
+    overrides the input relation (webtext pipeline row)."""
+    if texts is not None:
+        docs = texts.filter(F.length("text") >= g)
+    else:
+        docs = _documents(spark, sf_dir).filter(
+            (F.col("doc_id") < _BOUNDED_SLICE) & (F.length("text") >= g)
+        )
     # Every expression is TOTAL (CASE-guarded): Spark's sequence(1, n) with
     # n <= 0 produces a DESCENDING [1, 0, ...] (step inferred -1), and
     # Catalyst may evaluate a collapsed projection before the size filters
@@ -1280,12 +1318,21 @@ def _substr_pairs_bounded_impl(
     )
 
 
-def _substr_bounded_oracle_sql(g: int, w: int) -> str:
-    """DuckDB mirror of _substr_pairs_bounded_impl for a given (g, w)."""
+def _substr_bounded_oracle_sql(
+    g: int, w: int, source: str | None = None
+) -> str:
+    """DuckDB mirror of _substr_pairs_bounded_impl for a given (g, w).
+    ``source`` feeds an outer (doc_id, text) CTE instead of the slice."""
+    if source:
+        docs_rel = f"SELECT doc_id, text FROM {source} WHERE len(text) >= {g}"
+    else:
+        docs_rel = (
+            f"SELECT doc_id, text FROM documents\n"
+            f"  WHERE doc_id < {_BOUNDED_SLICE} AND len(text) >= {g}"
+        )
     return rf"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents
-  WHERE doc_id < {_BOUNDED_SLICE} AND len(text) >= {g}
+  {docs_rel}
 ),
 hs AS (
   SELECT doc_id,
@@ -1580,6 +1627,218 @@ SQL_NEAR_DUP_CLUSTERS_INCREMENTAL = f"""
 SELECT doc_id, cluster_id
 FROM ({SQL_NEAR_DUP_CLUSTERS_BOUNDED}) batch
 """
+
+
+# --------------------------------------------------------------------------
+# end-to-end webtext deployment row (VERDICT r4 #3): the actual
+# Common-Crawl shape from BASELINE input_hint — raw html + messy url in,
+# cluster assignments out, every stage the REAL operator or the verified
+# SQL-statable kernel:
+#   html → html_to_text → canonicalize_url → exact stage (checksum +
+#   first-wins) → bounded candidate union over exact SURVIVORS → CC →
+#   per-page cluster ids (exact members inherit their survivor's cluster).
+# --------------------------------------------------------------------------
+
+#: body planted on doc_id % 40 == 3 (5 docs in the bounded slice): mirror
+#: hosts serving byte-identical extracted text — the exact stage MUST
+#: collapse them to one survivor before near-dup sees the corpus, so the
+#: row verifies the exact→near-dup handoff, not just each stage alone
+_WEBTEXT_SHARED_BODY = (
+    "identical boilerplate landing page body served unchanged across "
+    "mirror hosts of the same syndication origin"
+)
+
+
+def _webtext_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, warc_ts, text) through the REAL web stages: html
+    synthesized around each document's text (variable fields — lang, source
+    — live ONLY in stripped regions: style, comment, script — so planted
+    same-body docs extract to byte-identical text), messy urls through the
+    four canonicalization shapes.  The DuckDB oracle restates the synthesis
+    and both transformations verbatim."""
+    from camden_spark.functions.web import canonicalize_url, html_to_text
+
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < _BOUNDED_SLICE)
+    d = F.col("doc_id").cast("string")
+    body = F.when(
+        F.col("doc_id") % 40 == 3, F.lit(_WEBTEXT_SHARED_BODY)
+    ).otherwise(F.col("text"))
+    html = F.concat(
+        F.lit("<html><head><title>mirror</title><style>."), F.col("lang"),
+        F.lit(" {color: #222}</style></head><body><!-- host: "),
+        F.col("source"), F.lit(" --><p>"), body,
+        F.lit("</p><script>var host = \""), F.col("source"),
+        F.lit("\";</script></body></html>"),
+    )
+    url_raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://"), F.upper("source"), F.lit(".Example:443/"),
+                     F.col("lang"), F.lit("/doc"), d,
+                     F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".example:80/doc"), d,
+                     F.lit("?id="), d, F.lit("&utm_medium=rss#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example/doc"), d,
+                     F.lit("?a=1&fbclid=XY"), d, F.lit("&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("HTTP://"), F.upper("source"), F.lit(".EXAMPLE/doc"), d)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        canonicalize_url(url_raw).alias("url"),
+        F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("warc_ts"),
+        html_to_text(html).alias("text"),
+    )
+
+
+def q_pipeline_webtext_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE.json deployment shape driver-HASH-verified end to end on
+    the bounded slice: extraction and url canonicalization feed the REAL
+    exact stage (operators/exact.py:exact_dedup_clusters — checksum groupBy
+    + first-wins window), near-dup candidates run ONLY over exact survivors
+    (the production pipeline's stage order: plans/pipeline.py), the REAL
+    candidate operators (LSH 4x4, SimHash pigeonhole, winnow) union into the
+    REAL connected-components, and every page inherits its survivor's
+    cluster through its checksum group.  Scale notes: the per-page mapping
+    joins are checksum/rep-keyed equi-joins (no broadcast hints), and CC
+    runs over survivors only — the same topology the 10^12-doc deployment
+    would run."""
+    from camden_spark.operators.components import assign_clusters
+    from camden_spark.operators.exact import exact_dedup_clusters
+
+    pages = _webtext_pages(spark, sf_dir)
+    cl = exact_dedup_clusters(pages, CFG)
+    reps = pages.join(
+        cl.filter(F.col("is_canonical")).select("url"), "url", "left_semi"
+    )
+    texts = reps.select("doc_id", "text")
+    lsh = _lsh_candidate_pairs_sig16(_bounded_sig16(spark, sf_dir, texts=texts))
+    sim = _simhash_candidate_pairs32(
+        _bounded_simhash32(spark, sf_dir, texts=texts)
+    ).select("doc_a", "doc_b")
+    sub = _substr_pairs_bounded_impl(
+        spark, sf_dir, _SUBSTR_BOUNDED_G, _SUBSTR_BOUNDED_W, texts=texts
+    )
+    pairs = lsh.unionByName(sim).unionByName(sub).dropDuplicates()
+
+    def pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 6, "0")
+
+    edges = pairs.select(pad("doc_a").alias("url_a"), pad("doc_b").alias("url_b"))
+    nodes = reps.select(pad("doc_id").alias("url"))
+    assign = assign_clusters(nodes, edges, CFG)
+    repc = assign.select(
+        F.col("url").cast("long").alias("rep_doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    rep_ids = (
+        cl.filter(F.col("is_canonical"))
+        .select("checksum", "url")
+        .join(pages.select("url", "doc_id"), "url")
+        .select("checksum", F.col("doc_id").alias("rep_doc_id"))
+    )
+    return (
+        pages.select("doc_id", "url")
+        .join(cl.select("url", "checksum"), "url")
+        .join(rep_ids, "checksum")
+        .join(repc, "rep_doc_id")
+        .select(
+            "doc_id",
+            "url",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _pipeline_webtext_oracle_sql() -> str:
+    """DuckDB mirror of q_pipeline_webtext_bounded: the same synthesis, the
+    web transformations verbatim (canonicalize_url_sql / html_to_text_sql),
+    exact stage as a sha256 window, the three verified pair oracles over a
+    ``reps`` CTE, and the recursive-CTE min-label walk."""
+    from camden_spark.functions.web import canonicalize_url_sql, html_to_text_sql
+
+    shapes = """CASE
+      WHEN doc_id % 4 = 0 THEN 'HTTPS://' || upper(source) || '.Example:443/' || lang || '/doc' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&utm_campaign=x'
+      WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example:80/doc' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium=rss#frag'
+      WHEN doc_id % 4 = 2 THEN 'https://' || source || '.example/doc' || CAST(doc_id AS VARCHAR) || '?a=1&fbclid=XY' || CAST(doc_id AS VARCHAR) || '&b=2'
+      ELSE 'HTTP://' || upper(source) || '.EXAMPLE/doc' || CAST(doc_id AS VARCHAR)
+    END"""
+    body = (
+        f"CASE WHEN doc_id % 40 = 3 THEN '{_WEBTEXT_SHARED_BODY}'"
+        f" ELSE text END"
+    )
+    html = (
+        "'<html><head><title>mirror</title><style>.' || lang || "
+        "' {color: #222}</style></head><body><!-- host: ' || source || "
+        "' --><p>' || body || "
+        "'</p><script>var host = \"' || source || '\";</script></body></html>'"
+    )
+    return f"""
+WITH RECURSIVE
+raw AS (
+  SELECT doc_id, lang, source, {body} AS body, {shapes} AS url_raw
+  FROM documents WHERE doc_id < {_BOUNDED_SLICE}
+),
+enc AS (
+  SELECT doc_id, url_raw, {html} AS html FROM raw
+),
+pages AS (
+  SELECT doc_id,
+         {canonicalize_url_sql("url_raw")} AS url,
+         {html_to_text_sql("html")} AS text
+  FROM enc
+),
+cl AS (
+  SELECT doc_id, url, text, sha256(text) AS checksum,
+         row_number() OVER (PARTITION BY sha256(text) ORDER BY url) AS rn
+  FROM pages
+),
+reps AS (SELECT doc_id, url, text, checksum FROM cl WHERE rn = 1),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_lsh_bounded_oracle_sql(source="reps")}) lshp
+  UNION
+  SELECT doc_a, doc_b FROM ({_simhash_bounded_oracle_sql(source="reps")}) simp
+  UNION
+  SELECT doc_a, doc_b FROM ({_substr_bounded_oracle_sql(_SUBSTR_BOUNDED_G, _SUBSTR_BOUNDED_W, source="reps")}) subp
+),
+edges AS (
+  SELECT lpad(CAST(doc_a AS VARCHAR), 6, '0') AS src,
+         lpad(CAST(doc_b AS VARCHAR), 6, '0') AS dst FROM pairs
+  UNION
+  SELECT lpad(CAST(doc_b AS VARCHAR), 6, '0'),
+         lpad(CAST(doc_a AS VARCHAR), 6, '0') FROM pairs
+),
+nodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id FROM reps),
+walk(id, label) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+lab AS (SELECT id, min(label) AS cluster_id FROM walk GROUP BY id),
+repc AS (
+  SELECT CAST(id AS BIGINT) AS rep_doc_id,
+         CAST(cluster_id AS BIGINT) AS cluster_id
+  FROM lab
+),
+repid AS (SELECT checksum, doc_id AS rep_doc_id FROM reps)
+SELECT c.doc_id, c.url, rc.cluster_id,
+       c.doc_id = rc.cluster_id AS is_canonical
+FROM cl c
+JOIN repid ri ON ri.checksum = c.checksum
+JOIN repc rc ON rc.rep_doc_id = ri.rep_doc_id
+"""
+
+
+SQL_PIPELINE_WEBTEXT_BOUNDED = _pipeline_webtext_oracle_sql()
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2449,6 +2708,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substr_pairs_bounded_alt": q_substr_pairs_bounded_alt,
     "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
     "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
+    # the BASELINE deployment shape end-to-end: html → text → canonical url
+    # → exact → bounded candidate union over survivors → CC
+    "pipeline_webtext_bounded": q_pipeline_webtext_bounded,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_ivf_planted": q_embedding_near_dup_ivf_planted,
     "embedding_near_dup_ivf_exhaustive": q_embedding_near_dup_ivf_exhaustive,
@@ -2505,6 +2767,7 @@ ORACLE_SQL: dict[str, str] = {
     "substr_pairs_bounded_alt": SQL_SUBSTR_PAIRS_BOUNDED_ALT,
     "near_dup_clusters_bounded": SQL_NEAR_DUP_CLUSTERS_BOUNDED,
     "near_dup_clusters_incremental": SQL_NEAR_DUP_CLUSTERS_INCREMENTAL,
+    "pipeline_webtext_bounded": SQL_PIPELINE_WEBTEXT_BOUNDED,
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     # reduced probe + planted identical-direction twins → closed-form pairs
     "embedding_near_dup_ivf_planted": SQL_EMBEDDING_NEAR_DUP_LSH,

@@ -34,9 +34,14 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    # master override for the executor-shape scaling legs: e.g.
+    # SPARK_GRAFT_MASTER=local-cluster[4,2,6144] runs 4 executor JVMs x 2
+    # cores x 6144 MB — real cross-executor netty shuffle, the N→4N shape
+    # of the north rule, still on one box (see bench_scaling.py --exec-legs)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -83,6 +88,16 @@ def get_spark(
         builder = builder.config("spark.eventLog.enabled", "true").config(
             "spark.eventLog.dir", ev_dir
         )
+    if master.startswith("local-cluster"):
+        # executor JVMs run python UDF workers from a spark-work temp dir,
+        # not the repo — cloudpickle pickles our module-level UDF kernels by
+        # REFERENCE, so the workers must be able to import camden_spark
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prev = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            repo_root + ((":" + prev) if prev else ""),
+        )
     # generic conf passthrough for benchmarking/ops: semicolon-separated
     # key=value pairs (env names cannot carry spark.* dots)
     extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
@@ -92,6 +107,85 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def pin_executor_fleet(
+    spark: SparkSession,
+    cores_per_exec: int,
+    driver_cores: int = 2,
+    timeout_s: float = 120.0,
+) -> dict[int, list[int]] | None:
+    """Pin each local-cluster executor JVM to its OWN disjoint CPU slice and
+    the driver (this python process + the in-process gateway JVM holding
+    master/workers/driver) to a separate reserved slice.
+
+    Why: the N→4N executor-shape scaling legs must give each executor
+    exactly ``cores_per_exec`` cores — like a real node — and keep the
+    driver off executor silicon (a real cluster's driver is a separate
+    machine).  Executor JVMs are children of the gateway JVM, so a plain
+    parent ``taskset`` gives every executor the UNION of cores and lets the
+    scheduler float them; per-PID ``sched_setaffinity`` removes that
+    freedom.  Python UDF daemons fork from their executor AFTER this runs
+    (call before warm_python_workers) and inherit the executor's slice.
+
+    Returns {executor_pid: [cores]} or None when the master is not
+    local-cluster.  Raises if fewer executors than the master string
+    promises register within ``timeout_s``.
+    """
+    import re
+    import subprocess
+    import time
+
+    sc = spark.sparkContext
+    m = re.match(r"local-cluster\[(\d+),", sc.master)
+    if m is None:
+        return None
+    n_exec = int(m.group(1))
+    # one Catalyst-only job (no python workers forked yet) blocks until the
+    # fleet has registered and can run tasks
+    spark.range(0, n_exec * cores_per_exec, 1, n_exec * cores_per_exec).count()
+    app_id = sc.applicationId
+    deadline = time.time() + timeout_s
+    pids: list[int] = []
+    while time.time() < deadline:
+        out = subprocess.run(
+            ["pgrep", "-f", "CoarseGrainedExecutorBackend"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        pids = []
+        for pid in out:
+            try:
+                with open(f"/proc/{pid}/cmdline") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if app_id in cmd:
+                pids.append(int(pid))
+        if len(pids) >= n_exec:
+            break
+        time.sleep(0.5)
+    if len(pids) < n_exec:
+        raise RuntimeError(
+            f"pin_executor_fleet: {len(pids)}/{n_exec} executors registered "
+            f"for {app_id} within {timeout_s}s"
+        )
+    drv = set(range(driver_cores))
+    os.sched_setaffinity(0, drv)
+    gateway = subprocess.run(
+        ["pgrep", "-P", str(os.getpid()), "java"],
+        capture_output=True, text=True,
+    ).stdout.split()
+    for p in gateway:
+        os.sched_setaffinity(int(p), drv)
+    assign: dict[int, list[int]] = {}
+    for i, pid in enumerate(sorted(pids)[:n_exec]):
+        cpu_set = set(
+            range(driver_cores + i * cores_per_exec,
+                  driver_cores + (i + 1) * cores_per_exec)
+        )
+        os.sched_setaffinity(pid, cpu_set)
+        assign[pid] = sorted(cpu_set)
+    return assign
 
 
 def warm_python_workers(spark: SparkSession, cores: int | None = None) -> None:

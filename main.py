@@ -69,6 +69,22 @@ def run(argv: list[str]) -> dict:
     spark = get_spark("camden_spark_main", cores=args.cores)
     from camden_spark.session import warm_python_workers
 
+    # executor-shape scaling legs: SPARK_GRAFT_PIN_EXECUTORS=<cores/exec>
+    # pins each local-cluster executor JVM to its own CPU slice (and the
+    # driver to a reserved one) BEFORE python daemons fork
+    import os as _os
+
+    pin_cpe = _os.environ.get("SPARK_GRAFT_PIN_EXECUTORS")
+    if pin_cpe:
+        from camden_spark.session import pin_executor_fleet
+
+        assign = pin_executor_fleet(
+            spark,
+            int(pin_cpe),
+            int(_os.environ.get("SPARK_GRAFT_DRIVER_CORES", "2")),
+        )
+        if assign:
+            print(f"pinned executors: {assign}", file=sys.stderr)
     warm_python_workers(spark)
     overrides = {}
     if args.jaccard_threshold is not None:

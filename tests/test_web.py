@@ -147,3 +147,35 @@ def test_pipeline_canonicalize_urls_collapses_crawl_dups(spark):
     assert set(by_url) == {"https://site.example/a", "https://site.example/b"}
     assert by_url["https://site.example/a"] == ["https://site.example/a"] * 2
     assert by_url["https://site.example/b"] == ["https://site.example/b"]
+
+
+def test_pipeline_webtext_bounded_exact_collapse(spark):
+    """The end-to-end webtext row's planted mirror group (doc_id % 40 == 3,
+    byte-identical extracted bodies under distinct urls) must collapse at
+    the EXACT stage — one survivor feeds near-dup — and the whole group
+    must share one cluster id in the output."""
+    from camden_spark.entry_queries import (
+        _WEBTEXT_SHARED_BODY,
+        _webtext_pages,
+        q_pipeline_webtext_bounded,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _webtext_pages(spark, sf_dir)
+    planted = pages.filter(F.col("doc_id") % 40 == 3).select("text").collect()
+    texts = {r["text"] for r in planted}
+    # variable fields (lang, source) live only in stripped html regions, so
+    # extraction is byte-identical across the mirror group
+    assert len(planted) == 5 and len(texts) == 1
+    assert _WEBTEXT_SHARED_BODY in next(iter(texts))
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in q_pipeline_webtext_bounded(spark, sf_dir).collect()
+    }
+    assert len(out) == 199
+    group = [out[i] for i in (3, 43, 83, 123, 163)]
+    cids = {c for c, _ in group}
+    assert len(cids) == 1  # one cluster for the whole mirror group
+    # exactly one member of the group is the cluster canonical
+    assert sum(1 for c, canon in group if canon) == 1
