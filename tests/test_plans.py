@@ -547,3 +547,15 @@ def test_sig_backend_flips_checkpoint_identity(tmp_path, spark):
     # than reusing stale arrow-keyed signature snapshots
     assert hash_jvm in set(os.listdir(tmp_path)) - dirs_after_arrow
     assert out_arrow == out_jvm
+
+
+def test_pin_executor_fleet_noop_on_local_master(spark):
+    """pin_executor_fleet is exec-shape-leg machinery: on a plain local[N]
+    master it must return None without touching any process affinity."""
+    import os as _os
+
+    from camden_spark.session import pin_executor_fleet
+
+    before = _os.sched_getaffinity(0)
+    assert pin_executor_fleet(spark, 2) is None
+    assert _os.sched_getaffinity(0) == before
