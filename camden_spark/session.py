@@ -124,8 +124,9 @@ def pin_executor_fleet(
     driver off executor silicon (a real cluster's driver is a separate
     machine).  Executor JVMs are children of the gateway JVM, so a plain
     parent ``taskset`` gives every executor the UNION of cores and lets the
-    scheduler float them; per-PID ``sched_setaffinity`` removes that
-    freedom.  Python UDF daemons fork from their executor AFTER this runs
+    scheduler float them; per-TID ``sched_setaffinity`` over every thread in
+    ``/proc/<pid>/task`` (taskset -a semantics — a bare pid call would bind
+    only the JVM's main thread) removes that freedom.  Python UDF daemons fork from their executor AFTER this runs
     (call before warm_python_workers) and inherit the executor's slice.
 
     Returns {executor_pid: [cores]} or None when the master is not
@@ -169,21 +170,39 @@ def pin_executor_fleet(
             f"pin_executor_fleet: {len(pids)}/{n_exec} executors registered "
             f"for {app_id} within {timeout_s}s"
         )
+    def pin_all_threads(proc_pid: int, cpu_set: set[int]) -> None:
+        # sched_setaffinity(pid) binds ONLY that one thread (the TGID's main
+        # thread); a JVM has already spawned its GC/netty/task-launch threads
+        # by the time the fleet registers, and those keep the launcher's
+        # taskset envelope — letting executors float onto the driver slice
+        # and each other's cores.  Pin every existing TID (taskset -a
+        # semantics); threads created afterwards inherit from their (pinned)
+        # creator.
+        try:
+            tids = os.listdir(f"/proc/{proc_pid}/task")
+        except OSError:
+            tids = [str(proc_pid)]
+        for tid in tids:
+            try:
+                os.sched_setaffinity(int(tid), cpu_set)
+            except OSError:
+                pass  # thread exited between listdir and the syscall
+
     drv = set(range(driver_cores))
-    os.sched_setaffinity(0, drv)
+    pin_all_threads(os.getpid(), drv)
     gateway = subprocess.run(
         ["pgrep", "-P", str(os.getpid()), "java"],
         capture_output=True, text=True,
     ).stdout.split()
     for p in gateway:
-        os.sched_setaffinity(int(p), drv)
+        pin_all_threads(int(p), drv)
     assign: dict[int, list[int]] = {}
     for i, pid in enumerate(sorted(pids)[:n_exec]):
         cpu_set = set(
             range(driver_cores + i * cores_per_exec,
                   driver_cores + (i + 1) * cores_per_exec)
         )
-        os.sched_setaffinity(pid, cpu_set)
+        pin_all_threads(pid, cpu_set)
         assign[pid] = sorted(cpu_set)
     return assign
 
