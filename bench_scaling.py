@@ -318,8 +318,11 @@ def main() -> None:
             "\nEXECUTOR-SHAPE legs: each level is a separate executor FLEET "
             f"inside ONE job — local-cluster[N,{cpe},{mem}] runs N executor "
             f"JVMs x {cpe} cores, each executor JVM sched_setaffinity-pinned "
-            "to its OWN disjoint core slice (python UDF daemons fork after "
-            "pinning and inherit it) with the driver (python + gateway JVM "
+            "PER-TID (every thread in /proc/<pid>/task — taskset -a "
+            "semantics; a bare pid call would bind only the JVM main thread "
+            "and let existing GC/netty/task threads float) to its OWN "
+            "disjoint core slice (python UDF daemons fork after pinning and "
+            "inherit it) with the driver (python + gateway JVM "
             f"holding master/workers) on a reserved {dc}-core slice, mirroring "
             "a real cluster's separate driver node.  This is literally the "
             "same job on the same input at N and 4N executors, cross-executor "
