@@ -2660,8 +2660,23 @@ WHERE a.doc_id < 100 AND b.doc_id < 100
 """
 
 
+# Registry sizing + order (round 6): the driver's correctness gate checks at
+# most 50 entries IN DICT ORDER — round 5 registered 53 and the truncated
+# tail included the entry() flagship near_dup_clusters, which therefore got
+# NO driver row.  This registry is exactly 50 entries, ordered so that any
+# future truncation drops redundant-config twins last-first, never the
+# flagship: (1) core oracle-checked queries, (2) the full-corpus production
+# twins (rows-only — their machinery is hash-verified by the bounded twins
+# in section 3), (3) bounded hash-verified twins, (4) second-config twins.
+# Retired to fit the gate (still hash-verified in pytest via
+# RETIRED_ORACLES/test_entry_contract.py): ann_topk_ivf (shared ann_topk's
+# oracle verbatim — exhaustive probe ≡ brute force),
+# embedding_near_dup_ivf_exhaustive (duplicates embedding_near_dup's answer
+# by construction), minhash_signatures full-corpus twin (signature stage is
+# driver-green via minhash_signatures_bounded and runs inside lsh_pairs /
+# near_dup_clusters anyway).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # SQL-expressible (oracle-checked)
+    # ---- section 1: core SQL-expressible (oracle-checked) ----
     "exact_dup_clusters": q_exact_dup_clusters,
     "duplicate_groups": q_duplicate_groups,
     "dedup_stats": q_dedup_stats,
@@ -2677,7 +2692,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "vocab_top_terms": q_vocab_top_terms,
     "ann_topk": q_ann_topk,
-    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "ngram_jaccard": q_ngram_jaccard,
     "decontaminate": q_decontaminate,
@@ -2695,33 +2709,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "streaming_dedup": q_streaming_dedup,
     "streaming_sessions": q_streaming_sessions,
+    # ---- section 2: full-corpus production twins (rows-only — the
+    # non-SQL-expressible distributed hashing stages; near_dup_clusters is
+    # the entry() flagship and must always get a driver row) ----
+    "near_dup_clusters": q_near_dup_clusters,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "substr_pairs": q_substr_pairs,
+    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
+    # ---- section 3: bounded hash-verified twins (REAL operators over
+    # SQL-statable signature kernels) ----
+    "pipeline_webtext_bounded": q_pipeline_webtext_bounded,
+    "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
+    "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
     "minhash_signatures_bounded": q_minhash_signatures_bounded,
     "lsh_pairs_bounded": q_lsh_pairs_bounded,
     "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash_pairs_bounded": q_simhash_pairs_bounded,
     "substr_pairs_bounded": q_substr_pairs_bounded,
-    # second-config twins: the same REAL operators at a different
-    # (k, bands, rows) / (blocks, radius) / (g, w) point, so green rows
-    # demonstrate config-generic correctness, not one lucky config
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+    "embedding_near_dup_ivf_planted": q_embedding_near_dup_ivf_planted,
+    # ---- section 4: second-config twins (the same REAL operators at a
+    # different (k, bands, rows) / (blocks, radius) / (g, w) point —
+    # config-generic evidence, safe to lose first under truncation) ----
     "lsh_pairs_bounded_alt": q_lsh_pairs_bounded_alt,
     "simhash_pairs_bounded_alt": q_simhash_pairs_bounded_alt,
     "substr_pairs_bounded_alt": q_substr_pairs_bounded_alt,
-    "near_dup_clusters_bounded": q_near_dup_clusters_bounded,
-    "near_dup_clusters_incremental": q_near_dup_clusters_incremental,
-    # the BASELINE deployment shape end-to-end: html → text → canonical url
-    # → exact → bounded candidate union over survivors → CC
-    "pipeline_webtext_bounded": q_pipeline_webtext_bounded,
-    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "embedding_near_dup_ivf_planted": q_embedding_near_dup_ivf_planted,
-    "embedding_near_dup_ivf_exhaustive": q_embedding_near_dup_ivf_exhaustive,
-    # rows-only (non-SQL-expressible distributed hashing / UDF stages)
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_pairs": q_lsh_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "substr_pairs": q_substr_pairs,
-    "near_dup_clusters": q_near_dup_clusters,
-    "embedding_near_dup_ivf": q_embedding_near_dup_ivf,
 }
+
+# Retired from the 50-entry driver registry but still hash-verified locally
+# (tests/test_entry_contract.py parametrizes over this dict with the same
+# rows+schema+hash comparison the driver runs).
+RETIRED_ORACLES: dict[str, tuple] = {}
 
 ORACLE_SQL: dict[str, str] = {
     "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
@@ -2739,7 +2758,6 @@ ORACLE_SQL: dict[str, str] = {
     "html_extract": SQL_HTML_EXTRACT,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "ann_topk": SQL_ANN_TOPK,
-    "ann_topk_ivf": SQL_ANN_TOPK,  # exhaustive probe ≡ brute force
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "decontaminate": SQL_DECONTAMINATE,
@@ -2771,6 +2789,19 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_near_dup_lsh": SQL_EMBEDDING_NEAR_DUP_LSH,
     # reduced probe + planted identical-direction twins → closed-form pairs
     "embedding_near_dup_ivf_planted": SQL_EMBEDDING_NEAR_DUP_LSH,
+}
+
+# populate after both dicts exist (callables + their oracles)
+RETIRED_ORACLES.update({
+    # exhaustive probe ≡ brute force — shared ann_topk's oracle verbatim
+    "ann_topk_ivf": (q_ann_topk_ivf, SQL_ANN_TOPK),
     # n_probe = n_cells ≡ exhaustive ≡ brute-force near-dup semantics
-    "embedding_near_dup_ivf_exhaustive": SQL_EMBEDDING_NEAR_DUP,
+    "embedding_near_dup_ivf_exhaustive": (
+        q_embedding_near_dup_ivf_exhaustive, SQL_EMBEDDING_NEAR_DUP,
+    ),
+})
+# the retired full-corpus minhash_signatures twin keeps its callable for
+# bench.py's headline list (cross-round comparability) — rows-only, no oracle
+RETIRED_ROWS_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "minhash_signatures": q_minhash_signatures,
 }

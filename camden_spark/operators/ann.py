@@ -168,6 +168,14 @@ def train_ivf_centroids(
     parquet scan, where footers answer it); for derived inputs it costs one
     pass over the (column-pruned) plan — acceptable for an offline training
     step that runs once per index build.
+
+    Version note (centroid compatibility): the two-regime split (round 4)
+    changed WHICH rows train centroids for corpora with
+    ``sample_rows < total ≤ 10*sample_rows`` (previously Bernoulli-sampled,
+    now deterministic TakeOrdered).  Indexes rebuilt since then can assign
+    different cells than assignments persisted by the older trainer — do
+    not mix stored cell assignments across trainer versions; rebuild the
+    index (centroids + assignments) together.
     """
     base = vectors.select(id_col, vec_col)
     total = base.count()
@@ -378,11 +386,17 @@ def ann_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(
-                cosine_col(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6
-            ).alias("cosine_sim"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+        )
+        # dedupe BEFORE the (expensive) exact verify — a pair colliding in up
+        # to n_tables buckets must pay the O(dim) cosine exactly once
+        # (mirrors ivf_near_dup_pairs; pairs-verified == pairs-emitted)
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "cosine_sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6)
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "cosine_sim")
     )
     return pairs

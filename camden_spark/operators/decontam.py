@@ -11,7 +11,11 @@ alongside).
 Scale shape — INVERTED INDEX, never corpus × benchmark pairs:
 
 * the benchmark side is tiny by nature (an eval set), so its exploded
-  (shingle → bench_id) index is **broadcast**;
+  (shingle → bench_id) index **broadcasts under AQE's measured-size rule**
+  — no hard-coded hint: a million-row eval suite whose exploded index
+  exceeds executor memory flips to a shuffled join instead of OOMing
+  (same de-hinting as ``dedup_incremental`` / ``ivf_topk``, with the same
+  plan-flip test in tests/test_plans.py);
 * the corpus side streams through one ``explode`` → broadcast hash join →
   partial-aggregated ``groupBy(doc_id, bench_id)``, i.e. ONE shuffle whose
   key space is only the docs that share ≥ 1 shingle with some benchmark
@@ -60,7 +64,7 @@ def decontaminate(
     )
     inter = F.count(F.lit(1))
     hits = (
-        grams_a.join(F.broadcast(grams_b), "g")
+        grams_a.join(grams_b, "g")
         .groupBy(corpus_id, bench_id)
         .agg(
             F.first("na").alias("na"),

@@ -170,6 +170,32 @@ def pin_executor_fleet(
             f"pin_executor_fleet: {len(pids)}/{n_exec} executors registered "
             f"for {app_id} within {timeout_s}s"
         )
+    if len(pids) > n_exec:
+        # more live backends than the master string promises (e.g. a worker
+        # relaunched an executor between registration and pinning) — a
+        # truncated sorted()[:n_exec] could pin a dead pid while a live
+        # executor floats unpinned, silently skewing a leg.  Refuse.
+        raise RuntimeError(
+            f"pin_executor_fleet: {len(pids)} live executor backends match "
+            f"{app_id} but master promises {n_exec} — fleet unstable, "
+            "refusing to pin a possibly-stale subset"
+        )
+    # validate the full requested core range against what this process may
+    # actually use BEFORE touching any thread: sched_setaffinity raises
+    # OSError(EINVAL) for CPUs outside the machine/cgroup set, and a blanket
+    # per-TID swallow would leave the fleet silently unpinned while the
+    # caller still reports "pinned".
+    need = driver_cores + n_exec * cores_per_exec
+    avail = os.sched_getaffinity(0)
+    missing = set(range(need)) - avail
+    if missing:
+        raise RuntimeError(
+            f"pin_executor_fleet: need cores 0..{need - 1} "
+            f"({n_exec} executors × {cores_per_exec} + {driver_cores} driver) "
+            f"but CPUs {sorted(missing)} are outside this process's "
+            f"affinity set ({len(avail)} usable)"
+        )
+
     def pin_all_threads(proc_pid: int, cpu_set: set[int]) -> None:
         # sched_setaffinity(pid) binds ONLY that one thread (the TGID's main
         # thread); a JVM has already spawned its GC/netty/task-launch threads
@@ -185,8 +211,18 @@ def pin_executor_fleet(
         for tid in tids:
             try:
                 os.sched_setaffinity(int(tid), cpu_set)
-            except OSError:
+            except ProcessLookupError:
                 pass  # thread exited between listdir and the syscall
+            # any other OSError (EINVAL/EPERM) is a real pin failure: the
+            # range check above makes EINVAL unreachable, so let it raise
+            # rather than report a shape that wasn't applied
+
+    def alive_and_matching(proc_pid: int) -> bool:
+        try:
+            with open(f"/proc/{proc_pid}/cmdline") as f:
+                return app_id in f.read()
+        except OSError:
+            return False
 
     drv = set(range(driver_cores))
     pin_all_threads(os.getpid(), drv)
@@ -197,7 +233,13 @@ def pin_executor_fleet(
     for p in gateway:
         pin_all_threads(int(p), drv)
     assign: dict[int, list[int]] = {}
-    for i, pid in enumerate(sorted(pids)[:n_exec]):
+    for i, pid in enumerate(sorted(pids)):
+        # re-validate at pin time: the pgrep snapshot is stale by now
+        if not alive_and_matching(pid):
+            raise RuntimeError(
+                f"pin_executor_fleet: executor pid {pid} exited between "
+                "discovery and pinning — fleet unstable, rerun the leg"
+            )
         cpu_set = set(
             range(driver_cores + i * cores_per_exec,
                   driver_cores + (i + 1) * cores_per_exec)

@@ -60,3 +60,35 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_registry_fits_driver_gate():
+    """The driver's correctness check covers at most 50 queries() entries in
+    dict order (round 5 registered 53 and the truncated tail silently
+    dropped the entry() flagship) — pin the registry at ≤ 50 so every
+    registered query gets a driver row, flagship included."""
+    q = entry_mod.queries()
+    assert len(q) <= 50
+    assert "near_dup_clusters" in q
+
+
+@pytest.mark.parametrize(
+    "name", sorted(__import__("camden_spark.entry_queries",
+                              fromlist=["RETIRED_ORACLES"]).RETIRED_ORACLES)
+)
+def test_retired_oracle_match(spark, duck, name):
+    """Queries retired from the 50-entry driver registry (their oracles were
+    verbatim duplicates of still-registered ones) keep the SAME
+    rows+schema+hash verification here."""
+    from camden_spark.entry_queries import RETIRED_ORACLES
+
+    fn, sql = RETIRED_ORACLES[name]
+    sdf = fn(spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(sql)
+    ocols = [c.lower() for c in rel.columns]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert table_hash(scols, srows) == table_hash(ocols, orows)

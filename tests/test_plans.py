@@ -504,6 +504,53 @@ def test_ivf_topk_broadcast_gate(spark):
         spark.conf.set(key, old)
 
 
+def test_decontaminate_broadcast_gate(spark):
+    """decontaminate carries NO broadcast hint on the benchmark index: with
+    the default autoBroadcastJoinThreshold the tiny eval index still
+    broadcasts (AQE measured it), and when the threshold classifies the
+    index as too big (a million-row eval suite at production scale) the
+    SAME plan flips to a shuffled join with an identical answer — the
+    property the old hard-coded F.broadcast(grams_b) destroyed."""
+    from camden_spark.entry_queries import _word_5gram_shingles
+    from camden_spark.operators.decontam import decontaminate
+
+    bench_text = " ".join(f"tok{i}" for i in range(20))
+    rows = [
+        (10, "prefix words " + bench_text + " suffix"),
+        (11, "completely different content with no overlap at all here now"),
+    ]
+    sh = (
+        spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .select("doc_id", _word_5gram_shingles("t").alias("shingles"))
+    )
+    bench = (
+        spark.createDataFrame([(0, bench_text)], ["bench_id", "text"])
+        .select("bench_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+        .select("bench_id", _word_5gram_shingles("t").alias("shingles"))
+    )
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        res_default = decontaminate(sh, bench, min_containment=0.5)
+        plan_default = _final_plan_str(res_default)
+        assert "BroadcastHashJoin" in plan_default, (
+            "tiny eval index should broadcast under the default threshold"
+        )
+        rows_default = sorted(map(tuple, res_default.collect()))
+        spark.conf.set(key, "-1")
+        res_gated = decontaminate(sh, bench, min_containment=0.5)
+        plan_gated = _final_plan_str(res_gated)
+        assert "BroadcastHashJoin" not in plan_gated, (
+            "benchmark side must flip to a shuffled join when it exceeds "
+            "the threshold — a residual broadcast means a hard-coded hint"
+        )
+        rows_gated = sorted(map(tuple, res_gated.collect()))
+        assert rows_default == rows_gated  # plan flip, identical answer
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_sig_backend_flips_checkpoint_identity(tmp_path, spark):
     """cfg.sig_backend feeds config_hash, so flipping backends must NOT
     resume from the other backend's snapshots: each backend gets its own
