@@ -56,6 +56,8 @@ def run_once(
     extra_env: dict[str, str] | None = None,
     taskset_cores: int | None = None,
     label: str | None = None,
+    eventlog_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "32g"))
     env.update(extra_env or {})
@@ -81,10 +83,22 @@ def run_once(
     pin_n = taskset_cores if taskset_cores is not None else cores
     if shutil.which("taskset"):
         prefix = ["taskset", "-c", f"0-{pin_n - 1}"]
+    if eventlog_dir:
+        # per-(leg, rep) event log for stage-level decomposition via
+        # tools/stage_profile.py (shuffle/compute/stage-tail attribution)
+        os.makedirs(eventlog_dir, exist_ok=True)
+        env["SPARK_GRAFT_EVENTLOG_DIR"] = eventlog_dir
+    cmd = [sys.executable, os.path.join(REPO, "main.py"),
+           "--input", corpus, "--output", out, "--skip-metrics"]
+    if checkpoint_dir:
+        # reliable-checkpoint leg: CC iterations + stage snapshots go through
+        # parquet (the 100x-scale resumability mode) instead of memory-backed
+        # localCheckpoint.  A FRESH dir per run — resume would skip stages
+        # and measure nothing.
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+        cmd += ["--checkpoint-dir", checkpoint_dir]
     proc = subprocess.run(
-        prefix
-        + [sys.executable, os.path.join(REPO, "main.py"),
-           "--input", corpus, "--output", out, "--skip-metrics"],
+        prefix + cmd,
         env=env,
         capture_output=True,
         text=True,
@@ -154,6 +168,25 @@ def main() -> None:
         action="store_true",
         help="skip the runs; build the report from out<N>/summary.json files",
     )
+    ap.add_argument(
+        "--eventlog",
+        action="store_true",
+        help="write a Spark event log per (leg, rep) under the workdir "
+        "(ev_<label>_rep<i>/) for tools/stage_profile.py decomposition",
+    )
+    ap.add_argument(
+        "--reliable-ckpt",
+        action="store_true",
+        help="run each leg with a FRESH parquet checkpoint dir (CC reliable "
+        "mode + stage snapshots) — measures the resumability mode's cost",
+    )
+    ap.add_argument(
+        "--out-json",
+        default=None,
+        help="write results to this path instead of BENCH/scaling.json and "
+        "SKIP the BASELINE.md rewrite (for secondary/diagnostic runs that "
+        "must not clobber the headline)",
+    )
     args = ap.parse_args()
 
     work = os.environ.get("BENCH_WORKDIR", "/tmp/camden_bench")
@@ -209,12 +242,23 @@ def main() -> None:
         samples: dict[str, list[dict]] = {leg["label"]: [] for leg in legs}
         for _rep in range(max(1, args.repeat)):
             for leg in legs:
+                safe = leg["label"].replace("[", "_").replace("]", "").replace(",", "x")
                 samples[leg["label"]].append(
                     run_once(
                         leg["cores"], corpus, os.path.join(work, leg["out"]),
                         extra_env=leg["extra_env"],
                         taskset_cores=leg["taskset"],
                         label=leg["label"],
+                        eventlog_dir=(
+                            os.path.join(
+                                work, f"ev_{args.docs}_{safe}_rep{_rep}"
+                            )
+                            if args.eventlog else None
+                        ),
+                        checkpoint_dir=(
+                            os.path.join(work, f"ckpt_{leg['out']}")
+                            if args.reliable_ckpt else None
+                        ),
                     )
                 )
         runs = []
@@ -276,10 +320,16 @@ def main() -> None:
         "speedup": head["speedup"],
         "target": 0.8,
         "pass": envelope_ok and is_4x and head["scaling_efficiency"] >= 0.8,
+        "reliable_ckpt": bool(getattr(args, "reliable_ckpt", False)),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    out_json = args.out_json or os.path.join(REPO, "BENCH", "scaling.json")
+    with open(out_json, "w") as f:
         json.dump({"result": result, "runs": runs}, f, indent=2)
+    if args.out_json:
+        # diagnostic/secondary run: do not rewrite the headline BASELINE.md
+        print(json.dumps(result))
+        return
     pin_note = (
         "Each leg's process tree (JVM task threads AND forked python UDF\n"
         "workers) is pinned with ``taskset`` to exactly N cores — ``local[N]``\n"
@@ -349,22 +399,29 @@ fresh JVM per run, idle machine.  {pin_note}
 {head['speedup']:.2f}x · scaling efficiency {head['scaling_efficiency']:.3f}
 (target ≥ 0.8: {"PASS" if result['pass'] else "FAIL"})**
 
-## Why the ≥0.8 pair is {head['cores_lo']}→{head['cores_hi']} (hardware context)
+## Hardware context: what bounds this number on THIS box
 
-The sandbox is ONE 32-core single-socket box: all parallelism levels share a
-fixed DRAM bandwidth, unlike the N → 4N *executor* scale-out the rule targets
-(4x nodes = 4x memory bandwidth + 4x cores).  A bare-numpy control harness
-(``tools/bandwidth_control.py`` — K independent processes looping this
-engine's shingle/MinHash/SimHash kernels, no Spark) measures the machine's
-own ceiling: 2→8 procs scale at ~0.98 efficiency but 8→32 at only ~0.75
-(per-process throughput 5632 → 4174 docs/s), and Spark adds shuffle and
-python-worker traffic on top — the kernels are memory-streaming and the
-socket's bandwidth saturates between 8 and 32 workers.  A 4x-executor
-cluster does not share that ceiling (4x nodes bring 4x memory systems), so
-the representative sandbox evidence is the
-{head['cores_lo']}→{head['cores_hi']}-core pair, inside the bandwidth
-envelope; the 8→32 pair is reported alongside, honestly labeled as measuring
-the machine's bandwidth wall rather than the engine.
+The sandbox is ONE 32-core single-socket virtualized box: every
+"executor" shares a single memory system, unlike the N → 4N *node*
+scale-out the rule targets (4x nodes = 4x DRAM bandwidth + 4x cores).
+The box's own streaming ceiling is measured by a pinned STREAM-triad
+control (``tools/bandwidth_control.py --triad`` — K processes pinned to
+the SAME cores the legs use, each running ``c = a + 2.5*b`` over ~1 GB):
+2→8 concurrent streams scale at only ~0.64 on this box (round-6
+measurement: 9.97 → 25.37 GB/s aggregate, best-of-3).  That ceiling —
+not Spark — accounts for the bulk of the per-core task-time inflation
+the event logs show between the legs; the remaining terms (a fixed
+~23 s driver/AQE planning gap independent of executor count, and the
+multi-JVM fleet term: remote netty shuffle + per-executor JIT/GC +
+stage-tail idle) are quantified per leg by
+``tools/scaling_decompose.py`` over the per-(leg, rep) event logs
+(``--eventlog``).  The earlier ``kernel``-mode control that reported
+~0.98 at 2→8 ran cache-resident batches UNPINNED and measured compute
+scaling, not the DRAM wall — superseded by the triad mode for
+envelope claims.  A 4x-executor cluster does not share this wall
+(4x nodes bring 4x memory systems), so the sandbox raw efficiency
+UNDERSTATES real N→4N scaling; see the round-6 decomposition section
+below for the term-by-term accounting with controls.
 
 Cluster output is parallelism-invariant (asserted in
 tests/test_near_dup.py::test_pipeline_parallelism_invariance — identical

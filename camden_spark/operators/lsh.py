@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 
 from camden_spark.config import DedupConfig
 from camden_spark.functions.shingles import jaccard_on_shingles
-from camden_spark.plans.caches import track_cache
+from camden_spark.plans.caches import materialize_barrier, track_cache
 
 
 def band_hashes(sig: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -125,7 +125,15 @@ def verify_pairs_jaccard(
         .union(pairs.select(F.col("url_b").alias("url")))
         .distinct()
     )
-    sh = sig.select("url", "shingles").join(pair_urls, "url", "left_semi")
+    # barrier, not bare lazy reuse: sh is joined TWICE below (side a and
+    # side b) and AQE materializes the two join branches as concurrent
+    # jobs — cold, they each recompute the shingle subtree (the duplicated
+    # ~108 MB Arrow stages measured on the multi-executor scaling legs).
+    # sh is pair-pruned, i.e. orders of magnitude smaller than the corpus,
+    # which is exactly materialize_barrier's intended size class.
+    sh = materialize_barrier(
+        sig.select("url", "shingles").join(pair_urls, "url", "left_semi")
+    )
     a = sh.select(
         F.col("url").alias("url_a"), F.col("shingles").alias("shingles_a")
     )

@@ -39,6 +39,7 @@ from camden_spark.plans.caches import (
     materialize_barrier,
     release_caches,
     track_cache,
+    warm_cache,
 )
 from camden_spark.plans.checkpoint import SnapshotStore
 from camden_spark.plans.metrics import StageCounters
@@ -173,14 +174,21 @@ class DedupPipeline:
         # carries exactly what downstream stages read
         from camden_spark.operators.exact import with_checksum
 
-        norm = track_cache(
+        # warm_cache (not bare track_cache): these frames are scanned by
+        # MULTIPLE branches of the downstream mega-query, and AQE
+        # materializes those branches as concurrent jobs — on a
+        # multi-executor fleet, cold-cache branches race and each
+        # recomputes the full upstream (caches.warm_cache docstring; the
+        # duplicated Arrow stages measured on the N→4N legs).  Populating
+        # here serializes exactly one computation per frame.
+        norm = warm_cache(
             normalize_pages(
                 with_checksum(base, cfg), cfg.lowercase, cfg.collapse_whitespace
             ).select("url", "warc_ts", "checksum", "norm_text")
         )
 
         # ---- stage 1: exact (camden semantics) -------------------------
-        exact = track_cache(
+        exact = warm_cache(
             staged(
                 "exact",
                 lambda: exact_dedup_clusters(norm, cfg),
@@ -247,7 +255,10 @@ class DedupPipeline:
             # (arrow path: include_shingles=False keeps the shingle arrays —
             # ~60% of the stage's bytes — off the Arrow wire; oversized
             # in-flight bursts arm the socket flow-control stall, session.py)
-            sig = track_cache(
+            # warm, for the same concurrent-branch reason as norm/exact:
+            # candidate_pairs_lsh's band-size-count and band-join branches
+            # both scan sig, and simhash scans it again
+            sig = warm_cache(
                 staged("signatures", build_sig, upstream=["exact"])
             )
 
@@ -307,7 +318,9 @@ class DedupPipeline:
             def build_substr() -> DataFrame:
                 # cache: the fingerprint UDF output feeds four consumers
                 # (group sizing + both sides of the self-join)
-                fp = track_cache(
+                # warm: the self-join scans fp on BOTH sides plus the
+                # group-sizing branch — cold-cache branch race otherwise
+                fp = warm_cache(
                     with_fingerprints(distinct_pages, cfg).select(
                         "url", "fingerprints"
                     )

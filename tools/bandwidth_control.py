@@ -1,14 +1,28 @@
-"""Bare-numpy scaling control (no Spark): measures the MACHINE's parallel
-ceiling for this engine's memory-streaming hash kernels.
+"""Bare-numpy scaling controls (no Spark): measure the MACHINE's parallel
+ceiling, separating two very different walls.
 
-Runs K independent processes, each looping the batch shingle/minhash kernels
-over its own synthetic batch, and reports per-process and aggregate
-throughput.  If K→4K aggregate efficiency is far below 1.0 here, the box —
-not the Spark engine — caps the same ratio measured through bench_scaling
-(single-socket DRAM bandwidth, possibly shared with noisy neighbors; CPU
-steal stays near zero because the stall is in the memory system).
+Mode ``kernel`` (default, the round-3 control): K processes loop the batch
+shingle/minhash kernels over a 512-doc batch.  CAVEAT, found in round 6:
+that batch is a few MB — substantially cache-resident — and the original
+workers were UNPINNED (free to float over all 32 cores), so this mode
+measures COMPUTE scaling and historically reported ~0.98 at 2→8, which is
+NOT the envelope for DRAM-streaming work.
 
-Usage: python tools/bandwidth_control.py [K ...]   (default: 2 8 32)
+Mode ``triad`` (round 6): K processes, each sched_setaffinity-PINNED to its
+own core (the same cores the bench legs use), run a STREAM-style triad
+(``c = a + 2.5*b``) over ~1 GB of arrays — pure DRAM streaming, the analog
+of Spark's shuffle/cache/Arrow traffic.  Measured on this box: per-proc
+4.7–5.0 GB/s at 1–2 procs dropping to ~3.1 at 4–8 procs, i.e. a 2→8-stream
+efficiency ceiling of ~0.66 — which matches the ×1.5 per-core task-time
+inflation the event logs show for the Spark legs (tools/scaling_decompose).
+A real N→4N *node* scale-out multiplies memory systems and does not share
+this wall.
+
+Usage::
+
+    python tools/bandwidth_control.py [K ...]              # kernel mode
+    python tools/bandwidth_control.py --triad [K ...]      # DRAM mode
+    python tools/bandwidth_control.py --triad --reps 3 2 8
 """
 
 from __future__ import annotations
@@ -69,11 +83,78 @@ def measure(k: int, seconds: float = 20.0) -> dict:
     }
 
 
+def _triad_worker(core: int, n: int, iters: int, q) -> None:
+    import os
+
+    import numpy as np
+
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass  # fewer cores than requested: float, still counted honestly
+    rng = np.random.RandomState(core)
+    a = rng.rand(n)
+    b = rng.rand(n)
+    c = np.zeros(n)
+    c[:] = a + 2.5 * b  # warm: fault pages in before timing
+    t0 = time.time()
+    for _ in range(iters):
+        c[:] = a + 2.5 * b  # STREAM triad: reads a,b + writes c
+    gb = iters * 3 * 8 * n / 1e9
+    q.put(gb / (time.time() - t0))
+
+
+def measure_triad(
+    k: int, n: int = 40_000_000, iters: int = 8, core0: int = 2
+) -> dict:
+    """Aggregate DRAM triad bandwidth of k pinned concurrent streams.
+
+    ``core0=2`` mirrors the bench legs' layout (driver slice on 0-1,
+    executors from core 2 up), so the streams land on the same silicon.
+    """
+    q = mp.Queue()
+    procs = [
+        mp.Process(target=_triad_worker, args=(core0 + i, n, iters, q))
+        for i in range(k)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    per = sorted(q.get() for _ in procs)
+    return {
+        "k": k,
+        "gb_per_sec_per_proc": [round(x, 2) for x in per],
+        "gb_per_sec_total": round(sum(per), 2),
+    }
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
-    out = [measure(k) for k in ks]
+    args = [a for a in sys.argv[1:]]
+    triad = "--triad" in args
+    reps = 1
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        del args[i : i + 2]
+    ks = [int(a) for a in args if not a.startswith("-")] or (
+        [1, 2, 4, 8] if triad else [2, 8, 32]
+    )
+    if triad:
+        # best-of-reps per K: additive host noise only ever lowers a
+        # bandwidth sample, so the max is the least-contaminated estimate
+        out = []
+        for k in ks:
+            samples = [measure_triad(k) for _ in range(reps)]
+            best = max(samples, key=lambda s: s["gb_per_sec_total"])
+            best["samples_total"] = [s["gb_per_sec_total"] for s in samples]
+            out.append(best)
+        key = "gb_per_sec_total"
+    else:
+        out = [measure(k) for k in ks]
+        key = "docs_per_sec_total"
     for lo, hi in zip(out, out[1:]):
-        ratio = hi["docs_per_sec_total"] / lo["docs_per_sec_total"]
+        ratio = hi[key] / lo[key]
         eff = ratio / (hi["k"] / lo["k"])
         print(
             f"{lo['k']}→{hi['k']} procs: aggregate ×{ratio:.2f}, "
