@@ -606,3 +606,23 @@ def test_pin_executor_fleet_noop_on_local_master(spark):
     before = _os.sched_getaffinity(0)
     assert pin_executor_fleet(spark, 2) is None
     assert _os.sched_getaffinity(0) == before
+
+
+def test_warm_cache_populates_before_consumers(spark):
+    """Round 6: warm_cache must leave the frame's cache POPULATED (not just
+    registered) so AQE's concurrent exchange branches never race on a cold
+    cache — on a multi-executor fleet a cold race recomputes the full
+    upstream per branch (see caches.warm_cache docstring).  Also: it must
+    stay releasable through the normal registry."""
+    from camden_spark.plans.caches import release_caches, warm_cache
+
+    release_caches()
+    baseline = _storage_rdd_count(spark)
+    df = warm_cache(spark.range(1000).selectExpr("id", "id * 2 as v"))
+    # populated, not merely marked: storage holds the relation's blocks
+    assert _storage_rdd_count(spark) > baseline
+    jcache = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemory" in jcache or df.storageLevel.useMemory
+    assert df.count() == 1000
+    release_caches()
+    assert _storage_rdd_count(spark) == baseline
