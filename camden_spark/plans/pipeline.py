@@ -262,29 +262,29 @@ class DedupPipeline:
                 staged("signatures", build_sig, upstream=["exact"])
             )
 
-        if self.enable_lsh:
-            def build_lsh() -> DataFrame:
-                cand, m = candidate_pairs_lsh(sig, cfg)
-                # HARD materialization barrier: three downstream branches
-                # consume the candidate set, and without it they race to
-                # compute the expensive band-join subtree redundantly (+25%
-                # pipeline wall at 500k docs).  localCheckpoint, not
-                # cache+count — see materialize_barrier's docstring for the
-                # Spark 4.1 cached-AQE-plan re-execution quirk.
-                cand = materialize_barrier(cand)
-                if self.collect_metrics:
-                    metrics["lsh"] = m.first().asDict()
-                pair_urls = (
-                    cand.select(F.col("url_a").alias("url"))
-                    .union(cand.select(F.col("url_b").alias("url")))
-                    .distinct()
-                )
-                sh = shingle_fn(
-                    distinct_pages.join(pair_urls, "url", "left_semi"), cfg
-                )
-                return verify_pairs_jaccard(cand, sh, cfg)
+        def build_lsh() -> DataFrame:
+            cand, m = candidate_pairs_lsh(sig, cfg)
+            # HARD materialization barrier: three downstream branches
+            # consume the candidate set, and without it they race to
+            # compute the expensive band-join subtree redundantly (+25%
+            # pipeline wall at 500k docs).  localCheckpoint, not
+            # cache+count — see materialize_barrier's docstring for the
+            # Spark 4.1 cached-AQE-plan re-execution quirk.
+            cand = materialize_barrier(cand)
+            if self.collect_metrics:
+                metrics["lsh"] = m.first().asDict()
+            pair_urls = (
+                cand.select(F.col("url_a").alias("url"))
+                .union(cand.select(F.col("url_b").alias("url")))
+                .distinct()
+            )
+            sh = shingle_fn(
+                distinct_pages.join(pair_urls, "url", "left_semi"), cfg
+            )
+            return verify_pairs_jaccard(cand, sh, cfg)
 
-            lsh_pairs = staged("lsh_pairs", build_lsh, upstream=["signatures"])
+        def _lsh_branch() -> DataFrame:
+            lp = staged("lsh_pairs", build_lsh, upstream=["signatures"])
             if self.enable_substr and store is None:
                 # The verified LSH pair set feeds TWO consumers (the pair
                 # union AND substr's anti-join); without a barrier both
@@ -292,22 +292,85 @@ class DedupPipeline:
                 # join) redundantly, and cache() does not stop that (the
                 # materialize_barrier docstring quirk).  With a store the
                 # staged() parquet snapshot already is the barrier.
-                lsh_pairs = materialize_barrier(lsh_pairs)
+                lp = materialize_barrier(lp)
+            return lp
+
+        def build_simhash() -> DataFrame:
+            pairs, m = candidate_pairs_simhash(sig, cfg)
+            if self.collect_metrics:
+                metrics["simhash"] = m.first().asDict()
+            return pairs
+
+        def _simhash_branch() -> DataFrame:
+            sp = staged(
+                "simhash_pairs", build_simhash, upstream=["signatures"]
+            )
+            if store is None:
+                # eager barrier (small pair set) so the branch MATERIALIZES
+                # here — the point of running it on a thread is overlapping
+                # its stages with the LSH branch's driver-planning gaps
+                sp = materialize_barrier(sp)
+            return sp
+
+        def _substr_fp() -> DataFrame:
+            # warm: the self-join scans fp on BOTH sides plus the
+            # group-sizing branch — cold-cache branch race otherwise
+            return warm_cache(
+                with_fingerprints(distinct_pages, cfg).select(
+                    "url", "fingerprints"
+                )
+            )
+
+        lsh_pairs = sim_pairs = fp_pre = None
+        n_branches = sum(
+            (self.enable_lsh, self.enable_simhash, self.enable_substr)
+        )
+        if store is None and n_branches > 1:
+            # Overlap the independent candidate branches from driver
+            # threads: each branch's actions leave executors idle during
+            # its own driver/AQE planning gaps (~20 s per pipeline run,
+            # measured in BENCH/BASELINE.md round-6) and its sub-core-count
+            # stage tails — a concurrent sibling fills both.  Safe because
+            # every shared input (norm/exact/sig) is warm-cached ABOVE, so
+            # threads read populated blocks instead of racing to compute
+            # them (caches.warm_cache docstring).  Concurrent
+            # materialize_barrier bookkeeping may cross-attribute created
+            # RDD ids between branches; harmless — release callbacks fire
+            # in bulk and unpersist is idempotent.  The checkpoint-store
+            # path stays sequential: staged() snapshot commits define
+            # resume lineage order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_lsh = (
+                    pool.submit(_lsh_branch) if self.enable_lsh else None
+                )
+                f_sim = (
+                    pool.submit(_simhash_branch)
+                    if self.enable_simhash
+                    else None
+                )
+                f_fp = (
+                    pool.submit(_substr_fp) if self.enable_substr else None
+                )
+                lsh_pairs = f_lsh.result() if f_lsh is not None else None
+                sim_pairs = f_sim.result() if f_sim is not None else None
+                fp_pre = f_fp.result() if f_fp is not None else None
+        else:
+            if self.enable_lsh:
+                lsh_pairs = _lsh_branch()
+            if self.enable_simhash:
+                sim_pairs = _simhash_branch()
+            # store path: fp is built inside build_substr so a resumed
+            # substr snapshot never computes fingerprints it won't use
+
+        if self.enable_lsh:
             pair_frames.append(
                 lsh_pairs.select(
                     "url_a", "url_b", F.lit("minhash_lsh").alias("source")
                 )
             )
-
         if self.enable_simhash:
-            def build_simhash() -> DataFrame:
-                pairs, m = candidate_pairs_simhash(sig, cfg)
-                if self.collect_metrics:
-                    metrics["simhash"] = m.first().asDict()
-                return pairs
-            sim_pairs = staged(
-                "simhash_pairs", build_simhash, upstream=["signatures"]
-            )
             pair_frames.append(
                 sim_pairs.select(
                     "url_a", "url_b", F.lit("simhash").alias("source")
@@ -318,13 +381,7 @@ class DedupPipeline:
             def build_substr() -> DataFrame:
                 # cache: the fingerprint UDF output feeds four consumers
                 # (group sizing + both sides of the self-join)
-                # warm: the self-join scans fp on BOTH sides plus the
-                # group-sizing branch — cold-cache branch race otherwise
-                fp = warm_cache(
-                    with_fingerprints(distinct_pages, cfg).select(
-                        "url", "fingerprints"
-                    )
-                )
+                fp = fp_pre if fp_pre is not None else _substr_fp()
                 cand, m = candidate_pairs_substr(fp, cfg)
                 if self.collect_metrics:
                     metrics["substr"] = m.first().asDict()
