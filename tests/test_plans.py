@@ -282,6 +282,22 @@ def test_ivf_near_dup_pairs_recall_and_exactness(spark):
     assert len(reduced) / len(truth) >= 0.9
 
 
+def test_auto_ivf_params():
+    """Corpus-size-scaled operating point: n_cells tracks 1.4·√n so per-cell
+    self-joins stay O(n) total candidates; n_probe stays n_cells/8 with a
+    floor of 6 (recall floor measured on the near-uniform testdata) and
+    never exceeds n_cells."""
+    from camden_spark.operators.ann import auto_ivf_params
+
+    assert auto_ivf_params(500) == (31, 6)  # sf0.01: measured recall 1.0
+    assert auto_ivf_params(2000) == (63, 8)  # sf0.1: measured recall 0.985
+    for n in (1, 10, 100, 10_000, 1_000_000):
+        nc, np_ = auto_ivf_params(n)
+        assert nc >= 8 and 6 <= np_ <= nc
+        if n >= 10_000:  # the √n law, not a constant, drives cell count
+            assert abs(nc - 1.4 * n**0.5) <= 1
+
+
 def test_ivf_near_dup_drop_accounting(spark):
     """Oversize cells are dropped AND counted via the status dict — skew caps
     in this engine are never silent."""
