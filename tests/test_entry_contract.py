@@ -62,6 +62,28 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_py_files_artifact_builds():
+    """package.sh builds the spark-submit --py-files zip (the north rule's
+    literal launch mode, smoke-run on a 2-executor local-cluster in round 6
+    — SURVEY §13): the archive must carry the full package, importable from
+    an executor's PYTHONPATH, with no __pycache__ payload."""
+    import subprocess
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        ["bash", "package.sh"], cwd=repo, check=True, capture_output=True
+    )
+    zpath = os.path.join(repo, "camden_spark.zip")
+    try:
+        names = zipfile.ZipFile(zpath).namelist()
+        assert "camden_spark/__init__.py" in names
+        assert "camden_spark/plans/pipeline.py" in names
+        assert not any("__pycache__" in n for n in names)
+    finally:
+        os.remove(zpath)
+
+
 def test_registry_fits_driver_gate():
     """The driver's correctness check covers at most 50 queries() entries in
     dict order (round 5 registered 53 and the truncated tail silently
