@@ -105,6 +105,26 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Byte-aware input resplit for queries with heavy PER-ROW stages
+    (tokenize → 5-gram shingling, Arrow signature UDFs): a small or
+    unsplittable parquet input arrives as a handful of scan tasks (one 0.6 MB
+    documents.parquet = ONE task under maxPartitionBytes), which serializes
+    the expensive map work on a single core — measured 2×3-4 s single-task
+    stages in decontaminate/dedup_incremental at sf0.1.  Same estimator as
+    the pipeline's input resplit (plans/pipeline.py): repartition only when
+    the file-byte-derived scan fan-out is below the session parallelism, so
+    a production corpus that already splits into thousands of tasks is left
+    untouched (no extra full-corpus shuffle at scale).  Row content is
+    unchanged — results are partitioning-invariant."""
+    from camden_spark.plans.pipeline import _estimated_scan_partitions
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < _estimated_scan_partitions(df) < n:
+        return df.repartition(n)
+    return df
+
+
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -579,7 +599,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
     vecs = _embeddings(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < 5)
-    return brute_force_topk(vecs, queries, k=10)
+    return brute_force_topk(vecs, queries, k=10, dim=64)
 
 
 SQL_ANN_TOPK = """
@@ -619,7 +639,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
+            "cosine_sim", F.round(cosine_col(F.col("ea"), F.col("eb"), dim=64), 6)
         )
         .filter(F.col("cosine_sim") >= 0.4)
         .select("id_a", "id_b", "cosine_sim")
@@ -690,7 +710,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index side of a real deployment is the pre-computed posting table, so
     nothing here rescans admitted docs' text).  Emits the ADMITTED rows.
     Index = doc_id < 250, batch = doc_id ≥ 250 (deterministic split)."""
-    docs = _documents(spark, sf_dir)
+    docs = _spread_input(_documents(spark, sf_dir))
     toks = docs.select(
         "doc_id",
         F.sha2("text", 256).alias("checksum"),
@@ -782,7 +802,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus × benchmark pairs."""
     from camden_spark.operators.decontam import decontaminate
 
-    docs = _documents(spark, sf_dir)
+    docs = _spread_input(_documents(spark, sf_dir))
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), _WS + "+").alias("t")
     )
@@ -835,7 +855,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the driver's canonicalizer sorts rows — raw array columns crash it), so
     the 128-slot signature is exposed as a deterministic 64-bit digest; the
     array-returning ``with_signatures`` stays the internal API."""
-    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
     sig = with_signatures(pages, CFG)
     minhash_digest = F.xxhash64(
         F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
@@ -1842,7 +1862,7 @@ SQL_PIPELINE_WEBTEXT_BOUNDED = _pipeline_webtext_oracle_sql()
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
     sig = (
         with_signatures(pages, CFG)
         .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
@@ -1853,7 +1873,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
     sig = (
         with_signatures(pages, CFG)
         .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
@@ -1864,7 +1884,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(pages_from_documents(spark, sf_dir))
+    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
     fp = with_fingerprints(pages, CFG)
     cand, _ = candidate_pairs_substr(fp, CFG)
     return verify_pairs_substr(cand, pages, CFG)
@@ -2025,7 +2045,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     never leaves the row."""
     from camden_spark.functions.text import repetition_stats
 
-    return repetition_stats(_documents(spark, sf_dir))
+    return repetition_stats(_spread_input(_documents(spark, sf_dir)))
 
 
 SQL_REPETITION_STATS = rf"""

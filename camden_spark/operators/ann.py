@@ -38,11 +38,69 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity, double precision, JVM-side."""
-    num = _dot(a, b)
-    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Bit-exact twin of :func:`_dot` for arrays of KNOWN length ``dim``,
+    expanded to a flat arithmetic expression that whole-stage codegen
+    compiles — the ``aggregate(zip_with(...))`` higher-order form is
+    interpreted per element per row (measured 407 task-seconds on the sf0.1
+    IVF verify stage, ~100x the arithmetic's cost).
+
+    IEEE parity with the fold: the explicit ``0.0`` seed reproduces
+    ``aggregate``'s init term (so even all-(-0.0) product chains keep the
+    same sign of zero), each product casts before multiplying exactly like
+    the ``zip_with`` lambda, and left-association matches the fold order —
+    identical doubles, bit for bit.  Callers must guard on
+    ``size(col) == dim`` (see :func:`_dot_guarded`): ``F.get`` yields NULL
+    past the end instead of the fold's truncated sum.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+    return acc
+
+
+def _dot_guarded(a: Column, b: Column, dim: int | None) -> Column:
+    """``_dot`` that takes the codegen fast path when both arrays really are
+    ``dim`` long, falling back to the interpreted fold otherwise (CASE only
+    evaluates the branch it takes, so mixed data pays each row's own cost)."""
+    if dim is None:
+        return _dot(a, b)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), _dot_fixed(a, b, dim)
+    ).otherwise(_dot(a, b))
+
+
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Cosine similarity, double precision, JVM-side.  Pass ``dim`` when the
+    embedding width is known to use the codegen'd fixed-width dot product
+    (bit-identical values, see :func:`_dot_fixed`)."""
+    num = _dot_guarded(a, b, dim)
+    den = F.sqrt(_dot_guarded(a, a, dim)) * F.sqrt(_dot_guarded(b, b, dim))
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def _with_norm(
+    vectors: DataFrame, dim: int | None, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, _nrm) — the vector L2 norm computed ONCE PER VECTOR before
+    any pair join.  ``sqrt(dot(a,a)) * sqrt(dot(b,b))`` per pair is the same
+    doubles whether the two sqrt factors are computed per pair or carried on
+    the row, so verify stages can pay O(dim) per VECTOR for norms and O(dim)
+    per PAIR only for the numerator (was 3 dots per pair)."""
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nrm"),
+    )
+
+
+def _pair_cosine(dim: int | None) -> Column:
+    """round(cosine, 6) over (_va, _nrm_a, _vb, _nrm_b) pair rows — identical
+    arithmetic to ``round(cosine_col(_va, _vb), 6)``: den = _nrm_a * _nrm_b
+    multiplies the same two sqrt values the per-pair form would."""
+    den = F.col("_nrm_a") * F.col("_nrm_b")
+    num = _dot_guarded(F.col("_va"), F.col("_vb"), dim)
+    return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
 
 
 def brute_force_topk(
@@ -51,21 +109,34 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
 
     (query_id, vec_id, cosine_sim, rank).  ``queries`` is broadcast — the
     corpus is scanned once with no shuffle until the final per-query top-k.
+    Pass ``dim`` (known embedding width) for the codegen'd dot product.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nq"),
     )
-    v = vectors.select(F.col(id_col), F.col(vec_col))
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nv"),
+    )
+    # norms ride the rows (O(dim) per VECTOR, not per pair); den = _nq * _nv
+    # multiplies the same sqrt doubles the per-pair cosine_col form would
+    den = F.col("_nq") * F.col("_nv")
+    num = _dot_guarded(F.col("q_vec"), F.col(vec_col), dim)
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6)
+            "cosine_sim",
+            F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -270,21 +341,33 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
+    dim = int(centroids.shape[1])
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
         _cell_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
+        F.sqrt(
+            _dot_guarded(F.col(vec_col), F.col(vec_col), dim)
+        ).alias("_nv"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         F.explode(
             _cell_udf(centroids, n_probe)(F.col(vec_col))
         ).alias("cell"),
+        F.sqrt(
+            _dot_guarded(F.col(vec_col), F.col(vec_col), dim)
+        ).alias("_nq"),
     )
+    # norms computed per row BEFORE the cell join (bit-identical den, see
+    # _with_norm); the per-pair cost is one codegen'd dot, not 3 folds
+    den = F.col("_nq") * F.col("_nv")
+    num = _dot_guarded(F.col("q_vec"), F.col(vec_col), dim)
     scored = (
         v.join(q, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("q_vec"), F.col(vec_col)), 6)
+            "cosine_sim",
+            F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -326,46 +409,62 @@ def ivf_near_dup_pairs(
     below all-pairs — the synthetic test embeddings are near-uniform (worst
     case), needing n_probe 3-4 for recall ≥ 0.95.
     """
-    from pyspark.sql import Window
-
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    v = vectors.select(
-        id_col, vec_col,
+    dim = int(centroids.shape[1])
+    # (id, cell) ONLY — the embedding payload is dropped right after the cell
+    # UDF, so the cell-keyed self-join and the pair dedupe shuffle 16-byte id
+    # rows instead of dim-wide float arrays (§8 of the optimization playbook:
+    # decide on lightweight proxies, re-attach the payload once at the end).
+    assign = vectors.select(
+        F.col(id_col),
         F.explode(_cell_udf(centroids, n_probe)(F.col(vec_col))).alias("cell"),
     )
-    sized = v.withColumn("_n", F.count("*").over(Window.partitionBy("cell")))
+    # cell sizing via one map-side-combined aggregation (the previous window
+    # count rode a full-payload sort per side); membership in keep-cells is
+    # a tiny broadcastable join
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n"))
     if status is not None:
-        drops = (
-            sized.groupBy("cell").agg(F.max("_n").alias("n")).agg(
-                F.count("*").cast("long").alias("cells_total"),
-                F.sum((F.col("n") > max_cell).cast("long")).alias("cells_dropped"),
-                F.sum(
-                    F.when(F.col("n") > max_cell, F.col("n")).otherwise(0)
-                ).cast("long").alias("rows_in_dropped_cells"),
-            ).first()
-        )
+        drops = sizes.agg(
+            F.count("*").cast("long").alias("cells_total"),
+            F.sum((F.col("n") > max_cell).cast("long")).alias("cells_dropped"),
+            F.sum(
+                F.when(F.col("n") > max_cell, F.col("n")).otherwise(0)
+            ).cast("long").alias("rows_in_dropped_cells"),
+        ).first()
         status.update(drops.asDict())
-    joinable = sized.filter(
-        (F.col("_n") > 1) & (F.col("_n") <= max_cell)
-    ).drop("_n")
-    a = joinable.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_cell)).select(
+        "cell"
     )
-    b = joinable.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
-    )
-    return (
+    joinable = assign.join(keep, "cell", "left_semi")
+    a = joinable.select(F.col(id_col).alias("id_a"), "cell")
+    b = joinable.select(F.col(id_col).alias("id_b"), "cell")
+    cand = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        # dedupe BEFORE the (expensive) exact verify: multi-probe assigns a
-        # pair to up to n_probe shared cells
+        # dedupe BEFORE the exact verify: multi-probe assigns a pair to up
+        # to n_probe shared cells — on id pairs only, never payloads
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6)
-        )
+    )
+    # re-attach each side's embedding + precomputed norm (one O(dim) norm
+    # per VECTOR; the per-pair verify is a single codegen'd dot product)
+    vn = _with_norm(vectors, dim, id_col, vec_col)
+    va = vn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_nrm_a"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nrm_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", _pair_cosine(dim))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -384,17 +483,21 @@ def ann_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine_sim ≥ threshold)
     via SRP-LSH buckets + exact verify.  Same skew discipline as text LSH:
-    oversize buckets dropped, join repartitioned on bucket key."""
+    oversize buckets dropped.  Same payload discipline as
+    :func:`ivf_near_dup_pairs`: the bucket self-join and pair dedupe run on
+    (id, table, bucket) rows only; embeddings (+ one precomputed norm per
+    vector) are re-attached to the deduped pair set for the single-dot
+    verify."""
     b = hyperplane_buckets(vectors, dim, n_planes, n_tables, seed, vec_col)
     sized = b.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     keep = sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
         "table", "bucket"
     )
     joinable = b.join(keep, ["table", "bucket"], "left_semi").select(
-        id_col, vec_col, "table", "bucket"
+        id_col, "table", "bucket"
     )
     l, r = joinable.alias("l"), joinable.alias("r")
-    pairs = (
+    cand = (
         l.join(
             r,
             on=[
@@ -406,17 +509,27 @@ def ann_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("_va"),
-            F.col(f"r.{vec_col}").alias("_vb"),
         )
         # dedupe BEFORE the (expensive) exact verify — a pair colliding in up
         # to n_tables buckets must pay the O(dim) cosine exactly once
         # (mirrors ivf_near_dup_pairs; pairs-verified == pairs-emitted)
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 6)
-        )
+    )
+    vn = _with_norm(vectors, dim, id_col, vec_col)
+    va = vn.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_nrm_a"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nrm_b"),
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine_sim", _pair_cosine(dim))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
-    return pairs

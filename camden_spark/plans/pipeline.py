@@ -180,8 +180,11 @@ class DedupPipeline:
         # multi-executor fleet, cold-cache branches race and each
         # recomputes the full upstream (caches.warm_cache docstring; the
         # duplicated Arrow stages measured on the N→4N legs).  Populating
-        # here serializes exactly one computation per frame.
-        norm = warm_cache(
+        # here serializes exactly one computation per frame.  norm itself
+        # needs no SEPARATE warming action: exact's warm count scans norm
+        # through its cache and populates it in the same job (one fewer
+        # count barrier per run — VERDICT r6 ask #3).
+        norm = track_cache(
             normalize_pages(
                 with_checksum(base, cfg), cfg.lowercase, cfg.collapse_whitespace
             ).select("url", "warc_ts", "checksum", "norm_text")
