@@ -599,7 +599,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
     vecs = _embeddings(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < 5)
-    return brute_force_topk(vecs, queries, k=10, dim=64)
+    return brute_force_topk(vecs, queries, k=10)
 
 
 SQL_ANN_TOPK = """
@@ -639,7 +639,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "cosine_sim", F.round(cosine_col(F.col("ea"), F.col("eb"), dim=64), 6)
+            "cosine_sim", F.round(cosine_col(F.col("ea"), F.col("eb")), 6)
         )
         .filter(F.col("cosine_sim") >= 0.4)
         .select("id_a", "id_b", "cosine_sim")
@@ -2375,12 +2375,28 @@ def q_embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf0.1) — the synthetic embeddings are near-uniform, IVF's worst case.
     The sizing ``count()`` is answered by parquet footers on this bare
     scan."""
-    from camden_spark.operators.ann import auto_ivf_params, ivf_near_dup_pairs
+    from camden_spark.operators.ann import (
+        auto_ivf_params,
+        ivf_near_dup_pairs,
+        train_ivf_centroids,
+    )
 
-    vecs = _embeddings(spark, sf_dir)
-    n_cells, n_probe = auto_ivf_params(vecs.count())
+    raw = _embeddings(spark, sf_dir)
+    # the sizing count is answered by parquet footers on this bare scan;
+    # training is TakeOrdered (layout-independent).  NO input resplit here:
+    # the numpy cell UDF on a small corpus is faster on few fat tasks than
+    # on 32 thin ones (per-task python round-trip dominates — measured
+    # 0.4 s serial vs 1.0 s at 32 tasks), and the expensive stages
+    # (candidate join, dedupe, verify) get their parallelism from the
+    # operator's keyed repartitions, not the scan split.
+    n_cells, n_probe = auto_ivf_params(raw.count())
+    centroids = train_ivf_centroids(raw, n_cells)
     return ivf_near_dup_pairs(
-        vecs, threshold=0.4, n_cells=n_cells, n_probe=n_probe
+        raw,
+        threshold=0.4,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        centroids=centroids,
     )
 
 

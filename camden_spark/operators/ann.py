@@ -38,68 +38,48 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """Bit-exact twin of :func:`_dot` for arrays of KNOWN length ``dim``,
-    expanded to a flat arithmetic expression that whole-stage codegen
-    compiles — the ``aggregate(zip_with(...))`` higher-order form is
-    interpreted per element per row (measured 407 task-seconds on the sf0.1
-    IVF verify stage, ~100x the arithmetic's cost).
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity, double precision, JVM-side.
 
-    IEEE parity with the fold: the explicit ``0.0`` seed reproduces
-    ``aggregate``'s init term (so even all-(-0.0) product chains keep the
-    same sign of zero), each product casts before multiplying exactly like
-    the ``zip_with`` lambda, and left-association matches the fold order —
-    identical doubles, bit for bit.  Callers must guard on
-    ``size(col) == dim`` (see :func:`_dot_guarded`): ``F.get`` yields NULL
-    past the end instead of the fold's truncated sum.
-    """
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return acc
-
-
-def _dot_guarded(a: Column, b: Column, dim: int | None) -> Column:
-    """``_dot`` that takes the codegen fast path when both arrays really are
-    ``dim`` long, falling back to the interpreted fold otherwise (CASE only
-    evaluates the branch it takes, so mixed data pays each row's own cost)."""
-    if dim is None:
-        return _dot(a, b)
-    return F.when(
-        (F.size(a) == dim) & (F.size(b) == dim), _dot_fixed(a, b, dim)
-    ).otherwise(_dot(a, b))
-
-
-def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity, double precision, JVM-side.  Pass ``dim`` when the
-    embedding width is known to use the codegen'd fixed-width dot product
-    (bit-identical values, see :func:`_dot_fixed`)."""
-    num = _dot_guarded(a, b, dim)
-    den = F.sqrt(_dot_guarded(a, a, dim)) * F.sqrt(_dot_guarded(b, b, dim))
+    Optimization note (round 7): an expanded fixed-width sum-of-products
+    twin of ``_dot`` was prototyped and benchmarked for the pair-verify
+    stages; with norms precomputed per vector (see :func:`_with_norm`) the
+    interpreted fold is FASTER end to end (2.9 s vs 6.4 s on the sf0.1 IVF
+    verify) — the expanded 64-term tree bloats analysis/codegen and its
+    per-row GetArrayItem chain beats nothing once only ONE dot per pair
+    remains.  Measured, so the fold stays."""
+    num = _dot(a, b)
+    den = F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 
 def _with_norm(
-    vectors: DataFrame, dim: int | None, id_col: str, vec_col: str
+    vectors: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, vec, _nrm) — the vector L2 norm computed ONCE PER VECTOR before
-    any pair join.  ``sqrt(dot(a,a)) * sqrt(dot(b,b))`` per pair is the same
-    doubles whether the two sqrt factors are computed per pair or carried on
-    the row, so verify stages can pay O(dim) per VECTOR for norms and O(dim)
-    per PAIR only for the numerator (was 3 dots per pair)."""
+    any pair join.  ``sqrt(dot(a,a)) * sqrt(dot(b,b))`` is the same doubles
+    whether the two sqrt factors are computed per pair or carried on the
+    row, so verify stages pay O(dim) per VECTOR for norms and O(dim) per
+    PAIR only for the numerator (was 3 dots per pair).  Norms use the plain
+    interpreted fold on purpose: their cost is row-count-bound (tiny next
+    to the pair count) and the expanded fixed-width expression would only
+    bloat plan/codegen time here (measured +1-2 s of driver overhead per
+    query when all three dot instances were expanded)."""
     return vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nrm"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
     )
 
 
-def _pair_cosine(dim: int | None) -> Column:
+def _pair_cosine() -> Column:
     """round(cosine, 6) over (_va, _nrm_a, _vb, _nrm_b) pair rows — identical
     arithmetic to ``round(cosine_col(_va, _vb), 6)``: den = _nrm_a * _nrm_b
-    multiplies the same two sqrt values the per-pair form would."""
+    multiplies the same two sqrt values the per-pair form would, and the
+    numerator is the same fold, so the doubles are bit-identical while the
+    per-pair cost drops from 3 dots to 1."""
     den = F.col("_nrm_a") * F.col("_nrm_b")
-    num = _dot_guarded(F.col("_va"), F.col("_vb"), dim)
+    num = _dot(F.col("_va"), F.col("_vb"))
     return F.round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6)
 
 
@@ -109,28 +89,26 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
 
     (query_id, vec_id, cosine_sim, rank).  ``queries`` is broadcast — the
     corpus is scanned once with no shuffle until the final per-query top-k.
-    Pass ``dim`` (known embedding width) for the codegen'd dot product.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nq"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nq"),
     )
     v = vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(_dot_guarded(F.col(vec_col), F.col(vec_col), dim)).alias("_nv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nv"),
     )
     # norms ride the rows (O(dim) per VECTOR, not per pair); den = _nq * _nv
     # multiplies the same sqrt doubles the per-pair cosine_col form would
     den = F.col("_nq") * F.col("_nv")
-    num = _dot_guarded(F.col("q_vec"), F.col(vec_col), dim)
+    num = _dot(F.col("q_vec"), F.col(vec_col))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -341,27 +319,22 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    dim = int(centroids.shape[1])
     v = vectors.select(
         F.col(id_col), F.col(vec_col),
         _cell_udf(centroids, 1)(F.col(vec_col))[0].alias("cell"),
-        F.sqrt(
-            _dot_guarded(F.col(vec_col), F.col(vec_col), dim)
-        ).alias("_nv"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nv"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
         F.explode(
             _cell_udf(centroids, n_probe)(F.col(vec_col))
         ).alias("cell"),
-        F.sqrt(
-            _dot_guarded(F.col(vec_col), F.col(vec_col), dim)
-        ).alias("_nq"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_nq"),
     )
     # norms computed per row BEFORE the cell join (bit-identical den, see
-    # _with_norm); the per-pair cost is one codegen'd dot, not 3 folds
+    # _with_norm); the per-pair cost is one dot, not 3 folds
     den = F.col("_nq") * F.col("_nv")
-    num = _dot_guarded(F.col("q_vec"), F.col(vec_col), dim)
+    num = _dot(F.col("q_vec"), F.col(vec_col))
     scored = (
         v.join(q, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -401,9 +374,10 @@ def ivf_near_dup_pairs(
     pairs share a cell, get deduped, then exact-cosine verified.  Oversize
     cells are dropped to cap skew; pass ``status`` (a dict) to receive
     ``{"cells_total", "cells_dropped", "rows_in_dropped_cells"}`` (one tiny
-    extra job).  Cell sizing rides a window count over the SAME cell-keyed
-    shuffle the self-join uses — the cell-assignment UDF subtree is computed
-    once and the exchange is reused, never cached corpus-wide.  Tuning:
+    extra job).  Cell sizing is one map-side-combined aggregation over the
+    (id, cell) assignment rows; the payload never rides the candidate
+    machinery (see the inline §8-playbook note), and nothing is cached
+    corpus-wide.  Tuning:
     n_cells ≈ √corpus_size keeps cells bounded; on clustered real-world
     embeddings probed cells concentrate so the candidate mass stays far
     below all-pairs — the synthetic test embeddings are near-uniform (worst
@@ -413,7 +387,6 @@ def ivf_near_dup_pairs(
         centroids = train_ivf_centroids(
             vectors, n_cells, seed=seed, id_col=id_col, vec_col=vec_col
         )
-    dim = int(centroids.shape[1])
     # (id, cell) ONLY — the embedding payload is dropped right after the cell
     # UDF, so the cell-keyed self-join and the pair dedupe shuffle 16-byte id
     # rows instead of dim-wide float arrays (§8 of the optimization playbook:
@@ -438,19 +411,32 @@ def ivf_near_dup_pairs(
     keep = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_cell)).select(
         "cell"
     )
-    joinable = assign.join(keep, "cell", "left_semi")
+    # explicit cell-keyed repartition before the self-join (the lsh.py band
+    # pattern): the (id, cell) rows are tiny in BYTES but the join emits
+    # O(cell²) candidate rows, so AQE's byte-based coalescing would run it
+    # on 1-2 tasks (measured: a 2-task 4.7 s stage at sf0.1); both sides
+    # share the exchange via ReusedExchange
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism * 2
+    joinable = assign.join(keep, "cell", "left_semi").repartition(
+        n_parts, "cell"
+    )
     a = joinable.select(F.col(id_col).alias("id_a"), "cell")
     b = joinable.select(F.col(id_col).alias("id_b"), "cell")
     cand = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
+        # pair-keyed repartition for the same reason: the dedup aggregation
+        # and the downstream O(dim)-per-pair verify are CPU-bound on rows
+        # whose shuffle bytes (16 B/pair) read as "1 partition" to AQE;
+        # the dedup agg reuses this exchange (no extra shuffle)
+        .repartition(n_parts, "id_a", "id_b")
         # dedupe BEFORE the exact verify: multi-probe assigns a pair to up
         # to n_probe shared cells — on id pairs only, never payloads
         .dropDuplicates(["id_a", "id_b"])
     )
     # re-attach each side's embedding + precomputed norm (one O(dim) norm
     # per VECTOR; the per-pair verify is a single codegen'd dot product)
-    vn = _with_norm(vectors, dim, id_col, vec_col)
+    vn = _with_norm(vectors, id_col, vec_col)
     va = vn.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
@@ -464,7 +450,7 @@ def ivf_near_dup_pairs(
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine_sim", _pair_cosine(dim))
+        .withColumn("cosine_sim", _pair_cosine())
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -483,21 +469,29 @@ def ann_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cosine_sim ≥ threshold)
     via SRP-LSH buckets + exact verify.  Same skew discipline as text LSH:
-    oversize buckets dropped.  Same payload discipline as
-    :func:`ivf_near_dup_pairs`: the bucket self-join and pair dedupe run on
-    (id, table, bucket) rows only; embeddings (+ one precomputed norm per
-    vector) are re-attached to the deduped pair set for the single-dot
-    verify."""
-    b = hyperplane_buckets(vectors, dim, n_planes, n_tables, seed, vec_col)
+    oversize buckets dropped.  The per-vector norm is precomputed once and
+    rides the bucket rows, so the verify pays ONE dot per deduped pair
+    (bit-identical cosine, see :func:`_with_norm`).
+
+    Shape note (round 7): an id-only candidate join with the embeddings
+    re-attached after the dedupe (the ivf_near_dup_pairs §8 shape) was
+    measured HERE and reverted — at the high thresholds this operator
+    targets the candidate set is near the true-dup set (tiny next to the
+    corpus), and the two extra attach joins cost ~1.3 s of fixed stage
+    overhead per run for no byte savings that matter.  For moderate
+    thresholds / large candidate volumes use ivf_near_dup_pairs, whose
+    payload-free candidate machinery IS the measured win."""
+    bn = _with_norm(vectors, id_col, vec_col)
+    b = hyperplane_buckets(bn, dim, n_planes, n_tables, seed, vec_col)
     sized = b.groupBy("table", "bucket").agg(F.count("*").alias("n"))
     keep = sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
         "table", "bucket"
     )
     joinable = b.join(keep, ["table", "bucket"], "left_semi").select(
-        id_col, "table", "bucket"
+        id_col, vec_col, "_nrm", "table", "bucket"
     )
     l, r = joinable.alias("l"), joinable.alias("r")
-    cand = (
+    pairs = (
         l.join(
             r,
             on=[
@@ -509,27 +503,17 @@ def ann_near_dup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{vec_col}").alias("_va"),
+            F.col(f"r.{vec_col}").alias("_vb"),
+            F.col("l._nrm").alias("_nrm_a"),
+            F.col("r._nrm").alias("_nrm_b"),
         )
         # dedupe BEFORE the (expensive) exact verify — a pair colliding in up
         # to n_tables buckets must pay the O(dim) cosine exactly once
         # (mirrors ivf_near_dup_pairs; pairs-verified == pairs-emitted)
         .dropDuplicates(["id_a", "id_b"])
-    )
-    vn = _with_norm(vectors, dim, id_col, vec_col)
-    va = vn.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-        F.col("_nrm").alias("_nrm_a"),
-    )
-    vb = vn.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_nrm").alias("_nrm_b"),
-    )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine_sim", _pair_cosine(dim))
+        .withColumn("cosine_sim", _pair_cosine())
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+    return pairs

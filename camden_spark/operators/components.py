@@ -181,12 +181,11 @@ def connected_components(
         .dropDuplicates(["src", "dst"]),
         "cc_edges",
     )
-    labels = truncate(
-        sym.select(F.col("src").alias("nid"))
-        .distinct()
-        .withColumn("label", F.col("nid")),
-        "cc_iter_init",
-    )
+    # identity init straight off the CHECKPOINTED node table: sym carries
+    # both edge directions, so distinct(sym.src) == nodes' nid set — the
+    # projection costs nothing and saves the init's own distinct exchange
+    # + truncation job the previous derivation paid
+    labels = nodes.select("nid", F.col("nid").alias("label"))
     converged = False
     iterations = 0
     for _ in range(cfg.cc_max_iterations):
@@ -209,9 +208,20 @@ def connected_components(
         # an observed metric — zero extra jobs per iteration (vs a separate
         # isEmpty/count action)
         obs = Observation(f"cc_changed_{iterations}")
+        # iteration 1 runs on IDENTITY labels, where the pointer jump is a
+        # provable no-op (label(label(u)) = label(u) = u) — skip its join
+        # (and the exchanges/broadcasts it materializes) entirely
+        stepped = labels.join(nbr, "nid", "left")
+        if iterations > 1:
+            stepped = stepped.join(
+                jump, F.col("label") == F.col("_pj_nid"), "left"
+            )
+        else:
+            stepped = stepped.withColumn(
+                "_pj_label", F.lit(None).cast(labels.schema["label"].dataType)
+            )
         stepped = (
-            labels.join(nbr, "nid", "left")
-            .join(jump, F.col("label") == F.col("_pj_nid"), "left")
+            stepped
             .select(
                 "nid",
                 F.col("label").alias("_old"),

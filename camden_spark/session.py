@@ -34,6 +34,18 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+    # single-threaded BLAS in python workers: Spark is the parallelism
+    # layer — N concurrent pandas-UDF tasks each spawning an OpenBLAS/OMP
+    # thread pool oversubscribes the box N-fold (measured: the IVF
+    # cell-assignment pass at 32 concurrent tasks ran 2.4x slower than
+    # SERIAL until pinned to 1 BLAS thread).  Set in this process BEFORE
+    # the gateway JVM spawns (local workers fork from it and inherit), and
+    # mirrored to executorEnv for real clusters.  Respect explicit user
+    # settings.
+    blas_env = {}
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+        blas_env[var] = os.environ[var]
     # master override for the executor-shape scaling legs: e.g.
     # SPARK_GRAFT_MASTER=local-cluster[4,2,6144] runs 4 executor JVMs x 2
     # cores x 6144 MB — real cross-executor netty shuffle, the N→4N shape
@@ -45,6 +57,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES; stages whose work is
+        # CPU-per-row rather than per-byte (exploded-shingle joins: ~40 B/row
+        # keys fanning into O(group²) string-compare joins; id-pair verifies)
+        # compress to a few hundred KB and coalesce to 1-2 tasks under the
+        # default 1 MB floor — measured 4-7 s single-task join stages in
+        # dedup_incremental/decontaminate at sf0.1 while 31 cores idled.
+        # 64 KB keeps such stages parallel; at scale the floor is irrelevant
+        # (partitions are advisory-size-bound long before a 64 KB floor).
+        # Env-overridable for deployments that prefer the Spark default.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # zstd (not the lz4 default) for shuffle/broadcast/checkpoint
         # blocks: this engine's heavy stages are byte-movement-bound, not
@@ -79,6 +104,18 @@ def get_spark(
         # codegen setting reaches — but interpreted wide aggregates burn
         # memory bandwidth this box shares across cores, so keep it on.
         .config("spark.sql.codegen.maxFields", "512")
+        # the generated-class cache defaults to 100 entries; one pass over
+        # this engine's query suite generates several hundred codegen units,
+        # so every repeat run recompiled everything — and Janino compilation
+        # is the hidden serial cost of small stages (first task compiles,
+        # its 31-63 siblings block on the generator cache: the measured
+        # run≫cpu stages with zero fetch/GC).  10k entries keeps a session's
+        # compiled classes resident (repeat embedding_near_dup_lsh run:
+        # 6.1 s → 4.0 s); bounded, so long-lived sessions stay safe.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -87,6 +124,8 @@ def get_spark(
         # fans out across all cores (sized for text-heavy rows)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
+    for var, val in blas_env.items():
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     # profiling hook: SPARK_GRAFT_EVENTLOG_DIR=<dir> writes Spark event logs
     # there (stage/task timelines) — used by tools/stage_profile.py to find
     # under-parallelized stages; zero overhead when unset
