@@ -105,7 +105,7 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
-def _spread_input(df: DataFrame) -> DataFrame:
+def _spread_input(df: DataFrame, udf_bound: bool = False) -> DataFrame:
     """Byte-aware input resplit for queries with heavy PER-ROW stages
     (tokenize → 5-gram shingling, Arrow signature UDFs): a small or
     unsplittable parquet input arrives as a handful of scan tasks (one 0.6 MB
@@ -116,10 +116,18 @@ def _spread_input(df: DataFrame) -> DataFrame:
     the file-byte-derived scan fan-out is below the session parallelism, so
     a production corpus that already splits into thousands of tasks is left
     untouched (no extra full-corpus shuffle at scale).  Row content is
-    unchanged — results are partitioning-invariant."""
+    unchanged — results are partitioning-invariant.
+
+    ``udf_bound``: the downstream heavy stage is an Arrow/pandas UDF whose
+    per-TASK python round-trip (~50-100 ms) outweighs per-row work on thin
+    partitions — spread to a quarter of the parallelism instead of all of
+    it (measured on q_lsh_pairs at sf0.1: 8 parts 4.70 s, 1 part 4.96 s,
+    32 parts 5.98 s); pure-Catalyst shingling keeps the full fan-out."""
     from camden_spark.plans.pipeline import _estimated_scan_partitions
 
     n = df.sparkSession.sparkContext.defaultParallelism
+    if udf_bound:
+        n = max(2, n // 4)
     if 0 < _estimated_scan_partitions(df) < n:
         return df.repartition(n)
     return df
@@ -855,7 +863,9 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the driver's canonicalizer sorts rows — raw array columns crash it), so
     the 128-slot signature is exposed as a deterministic 64-bit digest; the
     array-returning ``with_signatures`` stays the internal API."""
-    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
+    pages = normalize_pages(
+        _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
+    )
     sig = with_signatures(pages, CFG)
     minhash_digest = F.xxhash64(
         F.concat_ws(",", F.transform("minhash", lambda x: x.cast("string")))
@@ -1862,7 +1872,9 @@ SQL_PIPELINE_WEBTEXT_BOUNDED = _pipeline_webtext_oracle_sql()
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
+    pages = normalize_pages(
+        _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
+    )
     sig = (
         with_signatures(pages, CFG)
         .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
@@ -1873,7 +1885,9 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
+    pages = normalize_pages(
+        _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
+    )
     sig = (
         with_signatures(pages, CFG)
         .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
@@ -1884,7 +1898,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = normalize_pages(_spread_input(pages_from_documents(spark, sf_dir)))
+    pages = normalize_pages(
+        _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
+    )
     fp = with_fingerprints(pages, CFG)
     cand, _ = candidate_pairs_substr(fp, CFG)
     return verify_pairs_substr(cand, pages, CFG)
