@@ -175,6 +175,21 @@ def _spherical_kmeans(
     Pure numpy, deterministic under the seed."""
     rng = np.random.RandomState(seed)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if n_cells > X.shape[0]:
+        # surfaced, never silent (round-7 advisor fix): a clamp here means
+        # the caller requested more cells than the training sample can
+        # support — probe ratios derived from the REQUESTED count would be
+        # wrong (see auto_ivf_params.max_cells)
+        import warnings
+
+        warnings.warn(
+            f"_spherical_kmeans: n_cells={n_cells} exceeds the training "
+            f"sample ({X.shape[0]} rows) — clamping to {X.shape[0]}; "
+            "derive n_probe from the clamped count (auto_ivf_params "
+            "max_cells) or raise sample_rows",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     n_cells = min(n_cells, X.shape[0])
     C = X[rng.choice(X.shape[0], size=n_cells, replace=False)]
     for _ in range(iters):
@@ -189,7 +204,9 @@ def _spherical_kmeans(
     return C
 
 
-def auto_ivf_params(n_rows: int) -> tuple[int, int]:
+def auto_ivf_params(
+    n_rows: int, max_cells: int = 20_000
+) -> tuple[int, int]:
     """Corpus-size-scaled IVF operating point: ``n_cells ≈ 1.4·√n`` (the
     √n rule every IVF library documents — cells stay O(√n) rows so the
     per-cell self-join stays O(n) candidate pairs total), ``n_probe ≈
@@ -202,8 +219,18 @@ def auto_ivf_params(n_rows: int) -> tuple[int, int]:
     recall 0.985 at ~2× less wall than the previous fixed (16, 4) point,
     whose 4-of-16 probe ratio made a random pair share a cell with
     probability ≈1 — all-pairs with extra steps beyond ~1k rows.
-    """
-    n_cells = max(8, round(1.4 * math.sqrt(max(1, n_rows))))
+
+    ``max_cells`` pins the request to the trainer's sample bound (round-7
+    advisor fix): k-means can produce at most ``sample_rows`` distinct
+    centroids, and for n ≳ 2·10⁸ the unclamped 1.4·√n exceeded the
+    default 20k sample — ``_spherical_kmeans`` silently clamped the CELL
+    count while ``n_probe`` kept scaling with the UNclamped value, so the
+    effective probe fraction drifted from 1/8 toward exhaustive (the
+    all-pairs cliff this function exists to avoid) at exactly the corpus
+    sizes the engine targets.  Clamp FIRST, then derive n_probe, and keep
+    the caller's ``train_ivf_centroids(sample_rows=...)`` in sync (pass
+    the same value here as ``max_cells``)."""
+    n_cells = max(8, min(max_cells, round(1.4 * math.sqrt(max(1, n_rows)))))
     n_probe = min(n_cells, max(6, round(n_cells / 8)))
     return n_cells, n_probe
 

@@ -345,20 +345,35 @@ class DedupPipeline:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=3) as pool:
-                f_lsh = (
-                    pool.submit(_lsh_branch) if self.enable_lsh else None
-                )
-                f_sim = (
-                    pool.submit(_simhash_branch)
-                    if self.enable_simhash
-                    else None
-                )
-                f_fp = (
-                    pool.submit(_substr_fp) if self.enable_substr else None
-                )
-                lsh_pairs = f_lsh.result() if f_lsh is not None else None
-                sim_pairs = f_sim.result() if f_sim is not None else None
-                fp_pre = f_fp.result() if f_fp is not None else None
+                futs = {}
+                if self.enable_lsh:
+                    futs["lsh"] = pool.submit(_lsh_branch)
+                if self.enable_simhash:
+                    futs["simhash"] = pool.submit(_simhash_branch)
+                if self.enable_substr:
+                    futs["fp"] = pool.submit(_substr_fp)
+                # retrieve EVERY branch's outcome before raising: a fixed
+                # await order would drop sibling exceptions on a
+                # multi-branch failure and report only one cause
+                results: dict[str, DataFrame] = {}
+                errors: dict[str, Exception] = {}
+                for name, fut in futs.items():
+                    try:
+                        results[name] = fut.result()
+                    except Exception as exc:  # noqa: BLE001 - aggregated below
+                        errors[name] = exc
+                if errors:
+                    detail = "; ".join(
+                        f"{n}: {type(e).__name__}: {str(e)[:300]}"
+                        for n, e in errors.items()
+                    )
+                    first = next(iter(errors.values()))
+                    raise RuntimeError(
+                        f"candidate branch(es) failed [{detail}]"
+                    ) from first
+                lsh_pairs = results.get("lsh")
+                sim_pairs = results.get("simhash")
+                fp_pre = results.get("fp")
         else:
             if self.enable_lsh:
                 lsh_pairs = _lsh_branch()

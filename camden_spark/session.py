@@ -156,6 +156,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
+#: affinity mask of this process BEFORE pin_executor_fleet first pinned it
+#: (see the validation comment inside pin_executor_fleet)
+_ORIG_AFFINITY: set[int] | None = None
+
+
 def pin_executor_fleet(
     spark: SparkSession,
     cores_per_exec: int,
@@ -233,7 +238,15 @@ def pin_executor_fleet(
     # per-TID swallow would leave the fleet silently unpinned while the
     # caller still reports "pinned".
     need = driver_cores + n_exec * cores_per_exec
-    avail = os.sched_getaffinity(0)
+    # validate against the ORIGINAL affinity mask, snapshotted before any
+    # self-pinning: this very function pins the calling process to the
+    # driver slice, so a later call reading the CURRENT mask would
+    # spuriously fail even though re-pinning the fleet is possible
+    # (round-7 advisor fix; works across calls within one process)
+    global _ORIG_AFFINITY
+    if _ORIG_AFFINITY is None:
+        _ORIG_AFFINITY = set(os.sched_getaffinity(0))
+    avail = _ORIG_AFFINITY
     missing = set(range(need)) - avail
     if missing:
         raise RuntimeError(

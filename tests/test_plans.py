@@ -298,6 +298,38 @@ def test_auto_ivf_params():
             assert abs(nc - 1.4 * n**0.5) <= 1
 
 
+def test_auto_ivf_params_sample_clamp():
+    """Round-7 advisor fix: the requested cell count is clamped to the
+    trainer's sample bound BEFORE n_probe is derived — k-means can emit at
+    most sample_rows distinct centroids, and deriving n_probe from the
+    UNclamped 1.4·√n (n ≳ 2e8) silently drifted the probe fraction from
+    1/8 toward exhaustive (the all-pairs cliff) at target corpus sizes."""
+    from camden_spark.operators.ann import auto_ivf_params
+
+    for n in (10**9, 4 * 10**10, 10**12):
+        nc, np_ = auto_ivf_params(n)
+        assert nc == 20_000  # the default train_ivf_centroids sample bound
+        assert np_ == max(6, round(nc / 8))  # derived from the CLAMPED count
+    # a caller raising sample_rows gets the matching unclamped point
+    nc, np_ = auto_ivf_params(10**9, max_cells=100_000)
+    assert nc == round(1.4 * (10**9) ** 0.5)
+    assert np_ == max(6, round(nc / 8))
+
+
+def test_spherical_kmeans_clamp_warns():
+    """A cell-count clamp inside the trainer is surfaced, never silent."""
+    import warnings
+
+    from camden_spark.operators.ann import _spherical_kmeans
+
+    X = np.random.RandomState(0).standard_normal((16, 4))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        C = _spherical_kmeans(X, n_cells=32)
+    assert C.shape[0] == 16
+    assert any("clamping" in str(w.message) for w in rec)
+
+
 def test_ivf_near_dup_drop_accounting(spark):
     """Oversize cells are dropped AND counted via the status dict — skew caps
     in this engine are never silent."""
