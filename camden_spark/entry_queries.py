@@ -1872,25 +1872,55 @@ SQL_PIPELINE_WEBTEXT_BOUNDED = _pipeline_webtext_oracle_sql()
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 shape: the PIPELINE's payload discipline (plans/pipeline.py
+    build_lsh) applied to the standalone query — signatures cross the Arrow
+    wire WITHOUT the ~1.6 KB/row shingle arrays (struct fields of a UDF
+    result are not Catalyst-prunable, so the old `select` still shipped
+    them in all three sig-consuming passes), and shingle sets are
+    recomputed for just the candidate-pair urls before the exact-Jaccard
+    verify.  Identical results by construction (same kernels, same
+    candidate set, same verify inputs) — checksum-verified."""
+    from camden_spark.functions.shingles import with_shingles
+    from camden_spark.plans.caches import materialize_barrier
+
     pages = normalize_pages(
         _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
     )
+    # empty docs never near-dup (policy): n_shingles carries the filter the
+    # shingle arrays used to
     sig = (
-        with_signatures(pages, CFG)
-        .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
-        .select("url", "shingles", "minhash")
+        with_signatures(pages, CFG, include_shingles=False)
+        .filter(F.col("n_shingles") > 0)
+        .select("url", "minhash")
     )
     cand, _ = candidate_pairs_lsh(sig, CFG)
-    return verify_pairs_jaccard(cand, sig, CFG)
+    # barrier: the candidate set feeds the pair-url pruning AND the verify
+    # join — without it both consumers recompute the band-join subtree
+    # (same rationale/measurement as the pipeline's build_lsh)
+    cand = materialize_barrier(cand)
+    pair_urls = (
+        cand.select(F.col("url_a").alias("url"))
+        .union(cand.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    sh = with_shingles(
+        pages.select("url", "norm_text").join(pair_urls, "url", "left_semi"),
+        CFG,
+    )
+    return verify_pairs_jaccard(cand, sh, CFG)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = normalize_pages(
         _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
     )
+    # include_shingles=False: this query only reads (url, simhash) — the
+    # shingle arrays would otherwise ride the Arrow socket just to be
+    # dropped (non-prunable UDF struct fields); n_shingles carries the
+    # empty-docs-never-near-dup policy filter
     sig = (
-        with_signatures(pages, CFG)
-        .filter(F.size("shingles") > 0)  # empty docs never near-dup (policy)
+        with_signatures(pages, CFG, include_shingles=False)
+        .filter(F.col("n_shingles") > 0)
         .select("url", "simhash")
     )
     pairs, _ = candidate_pairs_simhash(sig, CFG)
@@ -1898,10 +1928,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from camden_spark.plans.caches import warm_cache
+
     pages = normalize_pages(
         _spread_input(pages_from_documents(spark, sf_dir), udf_bound=True)
     )
-    fp = with_fingerprints(pages, CFG)
+    # warm the fingerprint frame exactly like the pipeline's _substr_fp:
+    # candidate_pairs_substr scans it for group sizing AND both self-join
+    # sides, which would otherwise re-run the winnowing UDF per consumer
+    fp = warm_cache(
+        with_fingerprints(pages, CFG).select("url", "fingerprints")
+    )
     cand, _ = candidate_pairs_substr(fp, CFG)
     return verify_pairs_substr(cand, pages, CFG)
 
